@@ -1,0 +1,82 @@
+"""Config loader tests (SURVEY.md C1/C2)."""
+
+import os
+
+import pytest
+
+from vqa_tpu.config import (
+    deep_merge,
+    dump_options,
+    get_dotted,
+    load_options,
+    options_from_dict,
+    parse_override,
+    set_dotted,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OPTIONS_DIR = os.path.join(REPO, "options", "vqa2")
+
+GRADED_CONFIGS = {
+    "concat_att.yaml": "ConcatAtt",
+    "mlb_att.yaml": "MLBAtt",
+    "mutan_att.yaml": "MutanAtt",
+    "mfb_coatt.yaml": "MFBCoAtt",
+    "mfh_coatt.yaml": "MFHCoAtt",
+    "cor.yaml": "CoR",
+}
+
+
+def test_deep_merge_nested_override_wins():
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    over = {"a": {"y": 5}, "c": 7}
+    merged = deep_merge(base, over)
+    assert merged == {"a": {"x": 1, "y": 5}, "b": 3, "c": 7}
+    assert base["a"]["y"] == 2  # no mutation
+
+
+def test_dotted_access():
+    tree = {}
+    set_dotted(tree, "model.seq2vec.arch", "lstm")
+    assert get_dotted(tree, "model.seq2vec.arch") == "lstm"
+    assert get_dotted(tree, "model.missing", "fallback") == "fallback"
+
+
+def test_parse_override_yaml_typed():
+    assert parse_override("optim.lr=0.01") == ("optim.lr", 0.01)
+    assert parse_override("optim.batch_size=64") == ("optim.batch_size", 64)
+    assert parse_override("vqa.samplingans=false") == ("vqa.samplingans", False)
+    assert parse_override("model.arch=MLBAtt") == ("model.arch", "MLBAtt")
+
+
+@pytest.mark.parametrize("fname,arch", sorted(GRADED_CONFIGS.items()))
+def test_graded_configs_load(fname, arch):
+    opt = load_options(os.path.join(OPTIONS_DIR, fname))
+    assert opt.model.arch == arch
+    assert opt.vqa.maxlength == 26
+    assert opt.optim.batch_size == 128
+    assert opt.vqa.nans in (2000, 3000)
+
+
+def test_cli_overrides_beat_yaml():
+    opt = load_options(
+        os.path.join(OPTIONS_DIR, "mutan_att.yaml"),
+        overrides=["optim.lr=0.5", "model.fusion.R=10", "vqa.nans=100"],
+    )
+    assert opt.optim.lr == 0.5
+    assert opt.model.fusion["R"] == 10
+    assert opt.vqa.nans == 100
+
+
+def test_unknown_section_rejected():
+    with pytest.raises(KeyError):
+        options_from_dict({"nonsense": {}})
+    with pytest.raises(KeyError):
+        options_from_dict({"vqa": {"not_a_real_knob": 1}})
+
+
+def test_dump_options_roundtrip(tmp_path):
+    opt = load_options(os.path.join(OPTIONS_DIR, "mlb_att.yaml"))
+    path = dump_options(opt, str(tmp_path))
+    reloaded = load_options(path, default_path=None)
+    assert reloaded.raw == opt.raw

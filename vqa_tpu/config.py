@@ -1,0 +1,234 @@
+"""Config system (SURVEY.md C1/C2).
+
+The reference drives every run from a nested YAML file selected with
+``--path_opt options/vqa2/<model>.yaml``, with argparse flags overriding
+individual YAML leaves (SURVEY.md section 2.1 C1/C2, section 5.6). We keep the
+same schema and override grammar, parse the merged dict into a typed
+:class:`Options` tree, and dump the merged result into the run dir for
+provenance.
+
+Override grammar:
+  * named argparse flags map to well-known leaves (``--lr`` ->
+    ``optim.lr``), mirroring the reference CLI;
+  * generic ``--opt key.sub=value`` sets any leaf (value parsed as YAML).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+# --------------------------------------------------------------------------
+# dict plumbing
+# --------------------------------------------------------------------------
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path, "r") as f:
+        data = yaml.safe_load(f)
+    return data or {}
+
+
+def deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursively merge ``override`` into ``base`` (override wins)."""
+    out = copy.deepcopy(base)
+    for key, value in override.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+            out[key] = deep_merge(out[key], value)
+        else:
+            out[key] = copy.deepcopy(value)
+    return out
+
+
+def set_dotted(tree: Dict[str, Any], dotted_key: str, value: Any) -> None:
+    """Set ``tree['a']['b']['c'] = value`` for dotted_key ``'a.b.c'``."""
+    keys = dotted_key.split(".")
+    node = tree
+    for key in keys[:-1]:
+        node = node.setdefault(key, {})
+        if not isinstance(node, dict):
+            raise TypeError(f"cannot descend into non-dict at {key!r} of {dotted_key!r}")
+    node[keys[-1]] = value
+
+
+def get_dotted(tree: Dict[str, Any], dotted_key: str, default: Any = None) -> Any:
+    node: Any = tree
+    for key in dotted_key.split("."):
+        if not isinstance(node, dict) or key not in node:
+            return default
+        node = node[key]
+    return node
+
+
+def parse_override(spec: str) -> tuple:
+    """Parse ``key.sub=value`` where value is interpreted as YAML."""
+    if "=" not in spec:
+        raise ValueError(f"override {spec!r} must look like key.sub=value")
+    key, _, raw = spec.partition("=")
+    return key.strip(), yaml.safe_load(raw)
+
+
+# --------------------------------------------------------------------------
+# typed options
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LogsOptions:
+    dir_logs: str = "logs/vqa2/default"
+
+
+@dataclasses.dataclass
+class VQAOptions:
+    """Dataset options (SURVEY.md C3-C5 knobs)."""
+
+    dataset: str = "VQA2"
+    dir: str = "data/vqa2"
+    trainsplit: str = "train"          # 'train' or 'trainval'
+    nans: int = 2000                   # answer-vocab size
+    maxlength: int = 26                # question pad length
+    minwcount: int = 0                 # word min count for vocab
+    nlp: str = "mcb"                   # tokenizer flavor
+    pad: str = "right"                 # question padding side
+    samplingans: bool = True           # sample answer by confidence vs most-frequent
+
+
+@dataclasses.dataclass
+class CocoOptions:
+    """Image-feature options (SURVEY.md C6)."""
+
+    dir: str = "data/coco"
+    arch: str = "bottomup36"           # 'bottomup36' (36x2048) or grid e.g. 'fbresnet152'
+    mode: str = "att"                  # 'att' (region/grid) or 'noatt' (pooled vector)
+
+
+@dataclasses.dataclass
+class OptimOptions:
+    lr: float = 1e-4
+    batch_size: int = 128
+    epochs: int = 20
+    optimizer: str = "adam"            # 'adam' | 'sgd'
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    lr_decay: Optional[float] = None   # multiplicative per-epoch decay
+    grad_clip: Optional[float] = None
+    eval_batch_size: Optional[int] = None
+
+
+@dataclasses.dataclass
+class ModelOptions:
+    """Model arch + per-arch sub-dicts.
+
+    The arch-specific shapes differ per family (SURVEY.md C8-C14), so
+    the subsections stay dicts validated by the model factory.
+    """
+
+    arch: str = "MutanAtt"
+    seq2vec: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    attention: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    fusion: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    classif: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # family-specific extensions (MFB pooling, CoR chain) live here too
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class EngineOptions:
+    print_freq: int = 10
+    seed: int = 1337
+    dtype: str = "float32"             # compute dtype: 'float32' | 'bfloat16'
+    donate: bool = True
+    profile_dir: Optional[str] = None  # jax.profiler trace dir (SURVEY.md section 5.1)
+    nan_check: bool = False            # jax.debug_nans-style guard (section 5.2)
+    pallas: str = "auto"               # 'auto' | 'on' | 'off' — fused-kernel layer
+
+
+@dataclasses.dataclass
+class Options:
+    logs: LogsOptions
+    vqa: VQAOptions
+    coco: CocoOptions
+    optim: OptimOptions
+    model: ModelOptions
+    engine: EngineOptions
+    raw: Dict[str, Any]                # merged dict, for provenance dump
+
+    @property
+    def dir_logs(self) -> str:
+        return self.logs.dir_logs
+
+
+_SECTION_TYPES = {
+    "logs": LogsOptions,
+    "vqa": VQAOptions,
+    "coco": CocoOptions,
+    "optim": OptimOptions,
+    "engine": EngineOptions,
+}
+
+
+def _build_section(cls, data: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        if key not in fields:
+            raise KeyError(
+                f"unknown option {key!r} for section {cls.__name__}; "
+                f"known: {sorted(fields)}"
+            )
+        kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _build_model_section(data: Dict[str, Any]) -> ModelOptions:
+    known = {"arch", "seq2vec", "attention", "fusion", "classif"}
+    kwargs: Dict[str, Any] = {"extra": {}}
+    for key, value in data.items():
+        if key in known:
+            kwargs[key] = value
+        else:
+            kwargs["extra"][key] = value
+    return ModelOptions(**kwargs)
+
+
+def options_from_dict(merged: Dict[str, Any]) -> Options:
+    unknown = set(merged) - (set(_SECTION_TYPES) | {"model"})
+    if unknown:
+        raise KeyError(f"unknown top-level config sections: {sorted(unknown)}")
+    sections = {
+        name: _build_section(cls, merged.get(name, {}) or {})
+        for name, cls in _SECTION_TYPES.items()
+    }
+    model = _build_model_section(merged.get("model", {}) or {})
+    return Options(model=model, raw=merged, **sections)
+
+
+def load_options(
+    path_opt: str,
+    overrides: Optional[List[str]] = None,
+    default_path: Optional[str] = None,
+) -> Options:
+    """default.yaml <- model yaml <- ``--opt`` overrides (left to right wins)."""
+    if default_path is None:
+        candidate = os.path.join(os.path.dirname(os.path.dirname(path_opt)), "default.yaml")
+        default_path = candidate if os.path.exists(candidate) else None
+    merged: Dict[str, Any] = load_yaml(default_path) if default_path else {}
+    merged = deep_merge(merged, load_yaml(path_opt))
+    for spec in overrides or []:
+        key, value = parse_override(spec)
+        set_dotted(merged, key, value)
+    return options_from_dict(merged)
+
+
+def dump_options(opt: Options, run_dir: str, name: str = "options.yaml") -> str:
+    """Write the merged config into the run dir for provenance (SURVEY.md 5.6)."""
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, name)
+    with open(path, "w") as f:
+        yaml.safe_dump(opt.raw, f, sort_keys=False)
+    return path
