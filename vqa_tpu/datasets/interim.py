@@ -1,0 +1,84 @@
+"""Raw VQA v2 json -> interim examples (SURVEY.md C3).
+
+Raw schema (official VQA v2 release):
+  questions file:   {"questions": [{"image_id", "question", "question_id"}]}
+  annotations file: {"annotations": [{"image_id", "question_id",
+                     "multiple_choice_answer", "answer_type",
+                     "answers": [{"answer", "answer_confidence", "answer_id"} x10]}]}
+
+Interim example (one dict per question):
+  {question_id, image_name, question, answer, answers}
+where ``answer`` is the consensus (multiple_choice_answer) and ``answers`` the
+10 annotator strings. Test splits have no annotation file -> answer fields
+absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+_SPLIT_TO_COCO = {
+    "train": "train2014",
+    "val": "val2014",
+    "test": "test2015",
+    "testdev": "test-dev2015",
+}
+
+RAW_FILES = {
+    "train": (
+        "v2_OpenEnded_mscoco_train2014_questions.json",
+        "v2_mscoco_train2014_annotations.json",
+    ),
+    "val": (
+        "v2_OpenEnded_mscoco_val2014_questions.json",
+        "v2_mscoco_val2014_annotations.json",
+    ),
+    "test": ("v2_OpenEnded_mscoco_test2015_questions.json", None),
+}
+
+
+def image_name(coco_split: str, image_id: int) -> str:
+    return f"COCO_{coco_split}_{image_id:012d}"
+
+
+def coco_split_for(split: str) -> str:
+    return _SPLIT_TO_COCO[split]
+
+
+def build_interim(
+    dir_raw: str, split: str
+) -> List[Dict[str, Any]]:
+    """Join the questions and annotations files into interim examples."""
+    qfile, afile = RAW_FILES[split]
+    with open(os.path.join(dir_raw, qfile)) as f:
+        questions = json.load(f)["questions"]
+
+    annotations: Optional[Dict[int, Dict[str, Any]]] = None
+    if afile is not None:
+        with open(os.path.join(dir_raw, afile)) as f:
+            annotations = {a["question_id"]: a for a in json.load(f)["annotations"]}
+
+    coco = coco_split_for(split)
+    examples = []
+    for q in questions:
+        ex: Dict[str, Any] = {
+            "question_id": q["question_id"],
+            "image_name": image_name(coco, q["image_id"]),
+            "question": q["question"],
+        }
+        if annotations is not None:
+            ann = annotations[q["question_id"]]
+            ex["answer"] = ann["multiple_choice_answer"]
+            ex["answers"] = [a["answer"] for a in ann["answers"]]
+        examples.append(ex)
+    return examples
+
+
+def write_interim(examples: List[Dict[str, Any]], dir_interim: str, split: str) -> str:
+    os.makedirs(dir_interim, exist_ok=True)
+    path = os.path.join(dir_interim, f"{split}_interim.json")
+    with open(path, "w") as f:
+        json.dump(examples, f)
+    return path

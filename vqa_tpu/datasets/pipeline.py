@@ -1,0 +1,118 @@
+"""Batching pipeline (SURVEY.md C7).
+
+Deterministic epoch iteration over a VQA2Dataset with background batch
+assembly. Replaces the reference's torch DataLoader worker processes with a
+host thread that overlaps numpy gather + device transfer with TPU compute —
+the idiomatic JAX input pattern (one step of lookahead is enough because
+assembly is fancy-indexing over RAM-resident arrays, not per-item decode).
+
+Determinism contract: epoch order is a pure function of (seed, epoch), so
+resume-at-epoch reproduces the exact stream (SURVEY.md section 5.2).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from vqa_tpu.datasets.vqa2 import VQA2Dataset
+
+
+def epoch_order(n: int, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    return rng.permutation(n).astype(np.int64)
+
+
+class BatchIterator:
+    """Iterates dict-of-numpy batches; optionally maps them through
+    ``transform`` (e.g. jax.device_put with a sharding) on the background
+    thread so transfer overlaps compute.
+    """
+
+    def __init__(
+        self,
+        dataset: VQA2Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last: bool = False,
+        transform: Optional[Callable[[Dict[str, np.ndarray]], object]] = None,
+        prefetch: int = 2,
+    ):
+        if drop_last and pad_last:
+            raise ValueError("drop_last and pad_last are mutually exclusive")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.transform = transform
+        self.prefetch = prefetch
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = epoch_order(n, self.seed, epoch, self.shuffle)
+        label_rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 1]))
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            if len(idx) < bs:
+                if self.drop_last:
+                    return
+                if self.pad_last:
+                    # pad by wrapping; callers mask with 'valid'
+                    pad = order[: bs - len(idx)]
+                    batch = self.dataset.batch(np.concatenate([idx, pad]), rng=label_rng)
+                    valid = np.zeros(bs, dtype=bool)
+                    valid[: len(idx)] = True
+                    batch["valid"] = valid
+                    yield batch
+                    return
+            batch = self.dataset.batch(idx, rng=label_rng)
+            if self.pad_last:
+                batch["valid"] = np.ones(len(idx), dtype=bool)
+            yield batch
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        """Iterate one epoch, with background assembly/transfer."""
+        if self.prefetch <= 0:
+            for batch in self._batches(epoch):
+                yield self.transform(batch) if self.transform else batch
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for batch in self._batches(epoch):
+                    q.put(self.transform(batch) if self.transform else batch)
+            except BaseException as e:  # surface worker errors to the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
