@@ -1,0 +1,111 @@
+"""VQA-accuracy scorer golden tests (SURVEY.md C19 — the parity gate)."""
+
+import pytest
+
+from vqa_tpu.scorer import (
+    evaluate,
+    normalize_answer,
+    process_digit_article,
+    process_punctuation,
+    question_accuracy,
+)
+
+
+# -- normalization goldens ----------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Yes", "yes"),
+        ("two", "2"),
+        ("None", "0"),
+        ("a red apple", "red apple"),
+        ("the dog", "dog"),
+        ("dont", "don't"),
+        ("yall", "y'all"),
+        ("oclock", "o'clock"),
+        ("red.", "red"),
+        ("3.5", "3.5"),          # decimal point survives
+        ("1,000", "1000"),       # comma inside digits dropped
+        ("red/blue", "red blue"),
+        ("semi;colon", "semi colon"),
+        ("what?!", "what"),
+        ("  padded  ", "padded"),
+    ],
+)
+def test_normalize_answer_golden(raw, expected):
+    assert normalize_answer(raw) == expected
+
+
+def test_punctuation_space_context():
+    # punct adjacent to space is removed outright (official behavior)
+    assert process_punctuation("red , blue") == "red  blue"
+    # punct inside a word becomes a space
+    assert process_punctuation("red,blue") == "red blue"
+
+
+def test_digit_article():
+    assert process_digit_article("the one red apple") == "1 red apple"
+
+
+# -- accuracy semantics --------------------------------------------------------
+
+def test_question_accuracy_exact_formula():
+    # 4 of 10 annotators said 'red': each leave-one-out subset has 3 or 4
+    # matches -> min(m/3, 1): leaving out a 'red' gives 3/3=1 (4 subsets),
+    # otherwise 4/3 -> 1 (6 subsets). All 1 -> acc 1.
+    gts = ["red"] * 4 + ["blue"] * 6
+    assert question_accuracy("red", gts) == 1.0
+    # 2 of 10: leave-out-red -> 1/3 (x2), else 2/3 (x8)
+    gts = ["red"] * 2 + ["blue"] * 8
+    acc = question_accuracy("red", gts)
+    assert abs(acc - (2 * (1 / 3) + 8 * (2 / 3)) / 10) < 1e-9
+    # 0 matches
+    assert question_accuracy("green", gts) == 0.0
+    # unanimous
+    assert question_accuracy("blue", ["blue"] * 10) == 1.0
+
+
+def test_question_accuracy_normalizes_pred_always():
+    gts = ["2"] * 10
+    assert question_accuracy("two", gts) == 1.0  # number word -> digit
+    # gt normalization only on disagreement: unanimous 'Two ' stays raw,
+    # pred normalizes to '2' -> no match (official quirk, preserved)
+    assert question_accuracy("2", ["two"] * 10) == 0.0
+    # with disagreement, gts normalize too
+    assert question_accuracy("2", ["two"] * 9 + ["blue"]) == 1.0
+
+
+def test_evaluate_report():
+    annotations = [
+        {
+            "question_id": 1,
+            "answer_type": "other",
+            "question_type": "what color",
+            "answers": [{"answer": "red"}] * 10,
+        },
+        {
+            "question_id": 2,
+            "answer_type": "yes/no",
+            "question_type": "is the",
+            "answers": [{"answer": "yes"}] * 5 + [{"answer": "no"}] * 5,
+        },
+    ]
+    results = [
+        {"question_id": 1, "answer": "red"},
+        {"question_id": 2, "answer": "yes"},
+    ]
+    report = evaluate(results, annotations)
+    assert report["n"] == 2
+    assert report["per_answer_type"]["other"] == 100.0
+    # q2: leave-one-out: 9 subsets -> min(4or5/3,1)=1 always -> 100
+    assert report["per_answer_type"]["yes/no"] == 100.0
+    assert report["overall"] == 100.0
+
+    report = evaluate([{"question_id": 2, "answer": "maybe"}], annotations)
+    assert report["overall"] == 0.0
+
+
+def test_evaluate_missing_annotation_raises():
+    with pytest.raises(KeyError):
+        evaluate([{"question_id": 99, "answer": "x"}], [])

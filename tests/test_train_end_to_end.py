@@ -1,0 +1,108 @@
+"""End-to-end slice (SURVEY.md section 7 step 6): fixture -> CLI train ->
+loss decreases -> checkpoint resume -> eval-only -> results json -> scorer.
+
+Runs graded config #1 (ConcatAtt) with tiny dims on the 8-device CPU mesh,
+so this also exercises batch sharding + compiler-inserted gradient psum.
+"""
+
+import json
+import os
+
+import pytest
+
+from vqa_tpu.cli.train import main
+from vqa_tpu.datasets.fixtures import generate
+from vqa_tpu.scorer import evaluate_files
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def fix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    generate(str(d), n_images=24, n_questions=160, seed=11)
+    return str(d)
+
+
+def _argv(fix, logs, extra=()):
+    return [
+        "--path_opt", os.path.join(REPO, "options/vqa2/concat_att.yaml"),
+        "--dir_logs", logs,
+        "--batch_size", "16",
+        "--lr", "0.003",
+        "--seed", "0",
+        "--print_freq", "4",
+        "--opt", f"vqa.dir={fix}/vqa2",
+        "--opt", f"coco.dir={fix}/coco",
+        "--opt", "vqa.nans=25",
+        "--opt", "model.seq2vec.emb_size=16",
+        "--opt", "model.seq2vec.hidden_size=32",
+        "--opt", "model.attention.dim_h=24",
+        "--opt", "model.classif.dim_h=24",
+        *extra,
+    ]
+
+
+@pytest.fixture(scope="module")
+def trained(fix, tmp_path_factory):
+    logs = str(tmp_path_factory.mktemp("logs"))
+    rc = main(_argv(fix, logs, ["--epochs", "3"]))
+    assert rc == 0
+    return logs
+
+
+def test_loss_decreases_and_metrics_logged(trained):
+    with open(os.path.join(trained, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    train_recs = [r for r in recs if r["split"] == "train"]
+    val_recs = [r for r in recs if r["split"] == "val"]
+    assert len(train_recs) == 3 and len(val_recs) == 3
+    assert train_recs[-1]["loss"] < train_recs[0]["loss"]
+    assert val_recs[-1]["qa_per_sec"] > 0
+
+
+def test_results_json_schema_and_scorer(trained, fix):
+    results_dir = os.path.join(trained, "results")
+    files = sorted(os.listdir(results_dir))
+    assert files, "no OpenEnded results emitted"
+    path = os.path.join(results_dir, files[-1])
+    with open(path) as f:
+        results = json.load(f)
+    assert isinstance(results, list) and set(results[0]) == {"question_id", "answer"}
+    # the fixture val split has 160 questions
+    assert len(results) == 160
+    report = evaluate_files(
+        path, os.path.join(fix, "vqa2/raw/v2_mscoco_val2014_annotations.json")
+    )
+    assert 0.0 <= report["overall"] <= 100.0
+    assert report["n"] == 160
+
+
+def test_checkpoint_info_tracks_best_and_latest(trained):
+    with open(os.path.join(trained, "ckpt", "info.json")) as f:
+        info = json.load(f)
+    assert info["latest"] == 2
+    assert info["best"] is not None and info["best_acc"] > 0
+    kept = {d for d in os.listdir(os.path.join(trained, "ckpt")) if d.startswith("epoch_")}
+    # pruned to best+latest only
+    expected = {f"epoch_{info['latest']:04d}", f"epoch_{info['best']:04d}"}
+    assert kept == expected
+
+
+def test_eval_only_resume_best(trained, fix, capsys):
+    rc = main(_argv(fix, trained, ["--epochs", "3", "--resume", "best", "-e"]))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from epoch" in out and "val acc1" in out
+
+
+def test_resume_latest_continues_training(trained, fix):
+    rc = main(_argv(fix, trained, ["--epochs", "4", "--resume", "latest"]))
+    assert rc == 0
+    with open(os.path.join(trained, "ckpt", "info.json")) as f:
+        info = json.load(f)
+    assert info["latest"] == 3
+
+
+def test_options_dumped_for_provenance(trained):
+    assert os.path.exists(os.path.join(trained, "options.yaml"))

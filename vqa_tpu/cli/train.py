@@ -1,0 +1,190 @@
+"""Training / evaluation CLI (SURVEY.md C1, call stack 3.1).
+
+Flag-compatible with the reference's train.py:
+
+  python train.py --path_opt options/vqa2/mutan_att.yaml          # train
+  python train.py --path_opt ... --resume best -e                 # eval-only
+  python train.py --path_opt ... --lr 1e-4 --batch_size 64        # overrides
+  python train.py --path_opt ... --opt model.fusion.R=10          # any leaf
+
+Named flags map onto YAML leaves; --opt sets arbitrary dotted keys.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_tpu import datasets as datasets_lib
+from vqa_tpu import models as models_lib
+from vqa_tpu.config import Options, dump_options, load_options
+from vqa_tpu.datasets.pipeline import BatchIterator
+from vqa_tpu.engine import engine as engine_lib
+from vqa_tpu.engine import optim as optim_lib
+from vqa_tpu.engine.checkpoint import CheckpointManager
+from vqa_tpu.engine.logger import Experiment
+from vqa_tpu.engine.steps import create_state, make_eval_step, make_train_step
+from vqa_tpu.parallel import batch_sharding, make_mesh, shard_state
+from vqa_tpu.parallel.mesh import check_batch_divisible
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="vqa_tpu trainer")
+    p.add_argument("--path_opt", required=True, help="model YAML under options/")
+    p.add_argument("--dir_logs", default=None, help="override logs.dir_logs")
+    p.add_argument("-e", "--evaluate", action="store_true", help="eval-only on val")
+    p.add_argument("--resume", default=None, help="best | latest | <epoch>")
+    p.add_argument("--save_model", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--save_all_from", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--start_epoch", type=int, default=None)
+    p.add_argument("--print_freq", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--workers", type=int, default=None, help="accepted for CLI compat")
+    p.add_argument("--profile_dir", default=None)
+    p.add_argument(
+        "--opt", action="append", default=[], metavar="KEY=VAL",
+        help="override any config leaf, e.g. --opt model.fusion.R=10",
+    )
+    return p
+
+
+def options_from_args(args) -> Options:
+    overrides: List[str] = []
+    named = {
+        "logs.dir_logs": args.dir_logs,
+        "optim.lr": args.lr,
+        "optim.batch_size": args.batch_size,
+        "optim.epochs": args.epochs,
+        "engine.print_freq": args.print_freq,
+        "engine.seed": args.seed,
+        "engine.profile_dir": args.profile_dir,
+    }
+    for key, val in named.items():
+        if val is not None:
+            overrides.append(f"{key}={val}")
+    overrides.extend(args.opt)
+    return load_options(args.path_opt, overrides)
+
+
+def init_params(model, dataset, opt: Options):
+    """Initialize with tiny sample shapes (shape-polymorphic over batch)."""
+    feat_shape = dataset.feature_shape
+    visual = jnp.zeros((2,) + feat_shape, jnp.float32)
+    question = jnp.zeros((2, opt.vqa.maxlength), jnp.int32)
+    lengths = jnp.ones((2,), jnp.int32)
+    variables = model.init(jax.random.key(opt.engine.seed), visual, question, lengths)
+    return variables["params"]
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat CLI invocations skip the 20-40s
+    first-compile cost (SURVEY.md Appendix A note on compile latency)."""
+    cache_dir = os.environ.get(
+        "VQA_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/vqa_tpu_jax")
+    )
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    opt = options_from_args(args)
+    _enable_compile_cache()
+    run_dir = opt.logs.dir_logs
+    dump_options(opt, run_dir)
+    exp = Experiment(run_dir, resume=args.resume is not None)
+
+    # --- data (SURVEY.md 3.1: datasets.factory first) -----------------------
+    trainsplit = opt.vqa.trainsplit
+    train_set = None if args.evaluate else datasets_lib.factory(trainsplit, opt)
+    val_set = datasets_lib.factory("val", opt)
+    num_words = val_set.num_words
+    num_answers = val_set.num_answers
+
+    # --- mesh + model + optimizer -------------------------------------------
+    mesh = make_mesh()
+    check_batch_divisible(opt.optim.batch_size, mesh)
+    model = models_lib.factory(opt.model, num_words, num_answers, dtype=opt.engine.dtype)
+    params = init_params(model, val_set, opt)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model {opt.model.arch}: {n_params/1e6:.2f}M params, "
+          f"{len(jax.devices())} device(s)", flush=True)
+
+    steps_per_epoch = (
+        len(train_set) // opt.optim.batch_size if train_set is not None else 1
+    )
+    tx = optim_lib.factory(opt.optim, steps_per_epoch)
+    state = shard_state(create_state(model, params, tx), mesh)
+
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), args.save_all_from)
+    start_epoch = 0
+    if args.resume is not None:
+        state, resumed_epoch = ckpt.restore(state, args.resume)
+        state = shard_state(state, mesh)
+        start_epoch = resumed_epoch + 1
+        print(f"resumed from epoch {resumed_epoch} (best acc {ckpt.best_acc})", flush=True)
+    if args.start_epoch is not None:
+        start_epoch = args.start_epoch
+
+    # --- pipelines -----------------------------------------------------------
+    dtype = np.float32 if opt.engine.dtype == "float32" else np.dtype("bfloat16")
+    in_sharding = batch_sharding(mesh)
+    transform = engine_lib.make_device_transform(in_sharding, dtype=None)
+    eval_bs = opt.optim.eval_batch_size or opt.optim.batch_size
+    val_loader = BatchIterator(
+        val_set, eval_bs, shuffle=False, pad_last=True, transform=transform
+    )
+    criterion = optim_lib.criterion_factory()
+    train_step = make_train_step(criterion, donate=opt.engine.donate)
+    eval_step = make_eval_step()
+    rng = jax.random.key(opt.engine.seed)
+
+    if opt.engine.profile_dir:
+        jax.profiler.start_trace(opt.engine.profile_dir)
+
+    try:
+        if args.evaluate:
+            acc1, _ = engine_lib.validate(
+                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp, start_epoch
+            )
+            print(f"val acc1: {acc1*100:.2f}", flush=True)
+            return 0
+
+        train_loader = BatchIterator(
+            train_set,
+            opt.optim.batch_size,
+            shuffle=True,
+            seed=opt.engine.seed,
+            drop_last=True,
+            transform=transform,
+        )
+        for epoch in range(start_epoch, opt.optim.epochs):
+            state, _ = engine_lib.train(
+                train_loader, state, train_step, rng, exp, epoch, opt.engine.print_freq
+            )
+            acc1, _ = engine_lib.validate(
+                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp, epoch
+            )
+            if args.save_model:
+                is_best = ckpt.save(jax.device_get(state), epoch, acc1)
+                if is_best:
+                    print(f"new best acc1 {acc1*100:.2f} @ epoch {epoch}", flush=True)
+        return 0
+    finally:
+        if opt.engine.profile_dir:
+            jax.profiler.stop_trace()
+        exp.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""Checkpoint / resume (SURVEY.md C20, section 5.3/5.4).
+
+Orbax-backed per-epoch saves with the reference's CLI semantics:
+``best`` / ``latest`` pointers, ``--resume {best,latest,<epoch>}``,
+``--save_all_from`` to keep everything from an epoch onward. Writes are
+atomic (Orbax's finalized directories + tmp-rename for the info record), so
+a crash mid-save never corrupts the resume point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_all_from: Optional[int] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_all_from = save_all_from
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- info record ---------------------------------------------------------
+
+    @property
+    def _info_path(self) -> str:
+        return os.path.join(self.directory, "info.json")
+
+    def info(self) -> Dict[str, Any]:
+        if not os.path.exists(self._info_path):
+            return {"latest": None, "best": None, "best_acc": None, "epochs": []}
+        with open(self._info_path) as f:
+            return json.load(f)
+
+    def _write_info(self, info: Dict[str, Any]) -> None:
+        tmp = self._info_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(info, f)
+        os.replace(tmp, self._info_path)
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"epoch_{epoch:04d}")
+
+    # -- save / restore ------------------------------------------------------
+
+    def save(self, state, epoch: int, acc: Optional[float] = None) -> bool:
+        """Save state for ``epoch``; returns True if this is the new best."""
+        path = self._epoch_dir(epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+
+        info = self.info()
+        info["latest"] = epoch
+        info.setdefault("epochs", []).append(epoch)
+        is_best = acc is not None and (
+            info["best_acc"] is None or acc > info["best_acc"]
+        )
+        if is_best:
+            info["best"] = epoch
+            info["best_acc"] = acc
+        self._write_info(info)
+        self._prune(info)
+        return is_best
+
+    def _prune(self, info: Dict[str, Any]) -> None:
+        keep = {info.get("latest"), info.get("best")}
+        for epoch in list(info.get("epochs", [])):
+            if epoch in keep:
+                continue
+            if self.save_all_from is not None and epoch >= self.save_all_from:
+                continue
+            path = self._epoch_dir(epoch)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            info["epochs"].remove(epoch)
+        self._write_info(info)
+
+    def resolve(self, which: Union[str, int]) -> int:
+        info = self.info()
+        if which in ("best", "latest"):
+            epoch = info.get(which)
+            if epoch is None:
+                raise FileNotFoundError(
+                    f"no {which!r} checkpoint recorded under {self.directory}"
+                )
+            return epoch
+        return int(which)
+
+    def restore(self, state_template, which: Union[str, int] = "latest") -> Tuple[Any, int]:
+        """Restore into the structure of ``state_template``; returns (state, epoch)."""
+        epoch = self.resolve(which)
+        path = self._epoch_dir(epoch)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        state = self._ckptr.restore(path, abstract)
+        return state, epoch
+
+    @property
+    def best_acc(self) -> Optional[float]:
+        return self.info().get("best_acc")

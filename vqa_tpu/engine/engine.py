@@ -1,0 +1,153 @@
+"""Epoch loops (SURVEY.md C16, call stacks 3.1/3.2).
+
+train():    step loop over the pipeline, jitted train_step, meters + logging
+validate(): eval loop -> top-1/top-5 accuracy + OpenEnded results list
+test():     eval loop without labels -> OpenEnded results list (C22)
+
+Host<->device traffic per step: one async device_put of the batch (done on
+the pipeline's background thread via ``transform``) and one small metrics
+fetch. Question ids stay host-side.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vqa_tpu.engine.logger import Experiment
+from vqa_tpu.engine.meters import MeterBank
+
+DEVICE_KEYS = ("visual", "question", "length", "answer", "valid")
+
+
+def make_device_transform(sharding=None, dtype=None):
+    """Pipeline transform: put compute keys on device, keep qids on host."""
+
+    def transform(batch: Dict[str, np.ndarray]):
+        device_part = {}
+        for key in DEVICE_KEYS:
+            if key in batch:
+                arr = batch[key]
+                if dtype is not None and arr.dtype == np.float32:
+                    arr = arr.astype(dtype)
+                device_part[key] = arr
+        device_part = (
+            jax.device_put(device_part, sharding)
+            if sharding is not None
+            else jax.device_put(device_part)
+        )
+        device_part["question_id"] = batch["question_id"]
+        if "valid" in batch:
+            device_part["valid_host"] = batch["valid"]
+        return device_part
+
+    return transform
+
+
+def _split_batch(batch):
+    device_batch = {k: v for k, v in batch.items() if k not in ("question_id", "valid_host")}
+    return device_batch, batch["question_id"], batch.get("valid_host")
+
+
+def train(
+    loader,
+    state,
+    train_step,
+    rng: jax.Array,
+    exp: Optional[Experiment],
+    epoch: int,
+    print_freq: int = 10,
+) -> Tuple[Any, Dict[str, float]]:
+    meters = MeterBank()
+    t_data = time.perf_counter()
+    for i, batch in enumerate(loader.epoch(epoch)):
+        device_batch, _, _ = _split_batch(batch)
+        data_time = time.perf_counter() - t_data
+        state, metrics = train_step(state, device_batch, rng)
+        if print_freq and (i % print_freq == 0 or i + 1 == loader.steps_per_epoch()):
+            # metrics fetch syncs; only do it on print steps
+            host = {k: float(v) for k, v in metrics.items()}
+            host["data_time"] = data_time
+            n = len(batch["question_id"])
+            meters.update(host, n)
+            batch_time = time.perf_counter() - t_data - data_time
+            print(
+                f"Epoch [{epoch}][{i}/{loader.steps_per_epoch()}] "
+                f"loss {host['loss']:.4f} acc1 {host['acc1']*100:.2f} "
+                f"acc5 {host['acc5']*100:.2f} data {data_time:.3f}s",
+                flush=True,
+            )
+            if exp is not None:
+                exp.log_step(epoch, "train", i, {**host, "batch_time": batch_time})
+        t_data = time.perf_counter()
+
+    avgs = meters.averages()
+    if exp is not None:
+        exp.log_epoch(epoch, "train", avgs)
+    return state, avgs
+
+
+def _eval_loop(
+    loader, state, eval_step, aid_to_ans: List[str], epoch: int
+) -> Tuple[Dict[str, float], List[Dict[str, Any]]]:
+    total = {"n": 0, "n_labeled": 0, "correct1": 0, "correct5": 0}
+    results: List[Dict[str, Any]] = []
+    n_seen = 0
+    t0 = time.perf_counter()
+    for batch in loader.epoch(epoch):
+        device_batch, question_ids, valid_host = _split_batch(batch)
+        out = eval_step(state, device_batch)
+        pred = np.asarray(out["pred"])
+        if valid_host is not None:
+            pred = pred[valid_host]
+            question_ids = question_ids[valid_host]
+        for qid, aid in zip(question_ids.tolist(), pred.tolist()):
+            results.append({"question_id": qid, "answer": aid_to_ans[aid]})
+        total["n"] += int(out["n"])
+        if "correct1" in out:
+            total["n_labeled"] += int(out["n_labeled"])
+            total["correct1"] += int(out["correct1"])
+            total["correct5"] += int(out["correct5"])
+        n_seen += len(pred)
+    wall = time.perf_counter() - t0
+    metrics = {
+        "n": total["n"],
+        "eval_time": wall,
+        "qa_per_sec": n_seen / wall if wall > 0 else 0.0,
+    }
+    if total["n_labeled"]:
+        metrics["acc1"] = total["correct1"] / total["n_labeled"]
+        metrics["acc5"] = total["correct5"] / total["n_labeled"]
+    return metrics, results
+
+
+def validate(
+    loader, state, eval_step, aid_to_ans: List[str],
+    exp: Optional[Experiment], epoch: int, split: str = "val",
+) -> Tuple[float, List[Dict[str, Any]]]:
+    metrics, results = _eval_loop(loader, state, eval_step, aid_to_ans, epoch)
+    if exp is not None:
+        exp.log_epoch(epoch, split, metrics)
+        exp.write_results(results, epoch, split)
+    acc1 = metrics.get("acc1", 0.0)
+    print(
+        f"Eval [{epoch}] {split}: acc1 {acc1*100:.2f} "
+        f"acc5 {metrics.get('acc5', 0.0)*100:.2f} "
+        f"({metrics['qa_per_sec']:.0f} QA/s)",
+        flush=True,
+    )
+    return acc1, results
+
+
+def test(
+    loader, state, eval_step, aid_to_ans: List[str],
+    exp: Optional[Experiment], epoch: int, split: str = "test",
+) -> List[Dict[str, Any]]:
+    metrics, results = _eval_loop(loader, state, eval_step, aid_to_ans, epoch)
+    if exp is not None:
+        exp.log_epoch(epoch, split, metrics)
+        exp.write_results(results, epoch, split)
+    return results

@@ -1,0 +1,106 @@
+"""Jitted train/eval steps (SURVEY.md C16 hot loop).
+
+One fused XLA program per step: forward + CE loss + backward + optimizer
+update, with the train state donated so parameter buffers update in place in
+HBM. Metrics come back as a small scalar dict; logits never leave the device
+on the train path.
+
+Eval is a separate jit (no grads): top-1/top-5 + predicted answer ids, with a
+``valid`` mask so the last partial batch can ride the same static shape
+(SURVEY.md C7 / pipeline.pad_last).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; dropout folds the step into the base rng."""
+
+
+def create_state(model, params, tx) -> TrainState:
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def _topk_acc(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
+    topk = jax.lax.top_k(logits, k)[1]              # [B, k]
+    return (topk == labels[:, None]).any(axis=-1)
+
+
+def make_train_step(criterion: Callable, donate: bool = True):
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params},
+                batch["visual"],
+                batch["question"],
+                batch["length"],
+                train=True,
+                rngs={"dropout": dropout_rng},
+            )
+            loss = criterion(logits, batch["answer"]).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "acc1": _topk_acc(logits, batch["answer"], 1).mean(),
+            "acc5": _topk_acc(logits, batch["answer"], 5).mean(),
+            "gnorm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step():
+    """Returns jitted (state, batch) -> per-batch eval outputs.
+
+    Output dict: pred [B] aid, plus masked-sum metrics (correct1/correct5/n)
+    so partial batches aggregate exactly.
+    """
+
+    def eval_step(state: TrainState, batch: Dict[str, jax.Array]):
+        logits = state.apply_fn(
+            {"params": state.params},
+            batch["visual"],
+            batch["question"],
+            batch["length"],
+            train=False,
+        )
+        pred = logits.argmax(axis=-1).astype(jnp.int32)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(pred.shape[0], dtype=bool)
+        out = {"pred": pred, "n": valid.sum()}
+        if "answer" in batch:
+            labeled = valid & (batch["answer"] >= 0)
+            out["n_labeled"] = labeled.sum()
+            out["correct1"] = (_topk_acc(logits, batch["answer"], 1) & labeled).sum()
+            out["correct5"] = (_topk_acc(logits, batch["answer"], 5) & labeled).sum()
+        return out
+
+    return jax.jit(eval_step)
+
+
+def make_forward(model, train: bool = False):
+    """Plain jitted forward (used by __graft_entry__ and bench)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def forward(params, visual, question, length):
+        return model.apply({"params": params}, visual, question, length, train=train)
+
+    return forward

@@ -1,0 +1,58 @@
+"""Device mesh + sharding rules (SURVEY.md section 2.3).
+
+Default layout: a 2-D mesh ('data', 'model') with every chip on the data
+axis. VQA models are small (the whole parameter set fits per-chip), so data
+parallelism is the graded strategy; the 'model' axis exists as the design
+seam for tensor sharding (SURVEY.md 2.3 TP row) and stays size 1 unless
+requested.
+
+Under jit: batch arrays are sharded P('data') on their leading axis, the
+train state is replicated P(). XLA inserts the gradient all-reduce (psum)
+over ICI automatically — that is the whole distributed backend (section 5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding for input arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def shard_state(state, mesh: Mesh):
+    """Replicate the train state across the mesh (params fit per chip)."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
+    n = mesh.shape["data"]
+    if batch_size % n:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by data-parallel size {n}"
+        )
