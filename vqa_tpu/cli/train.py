@@ -106,8 +106,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # --- data (SURVEY.md 3.1: datasets.factory first) -----------------------
     trainsplit = opt.vqa.trainsplit
-    train_set = None if args.evaluate else datasets_lib.factory(trainsplit, opt)
-    val_set = datasets_lib.factory("val", opt)
+    visual_mode = "index" if opt.engine.device_features else "gather"
+    train_set = (
+        None
+        if args.evaluate
+        else datasets_lib.factory(trainsplit, opt, visual_mode=visual_mode)
+    )
+    val_set = datasets_lib.factory("val", opt, visual_mode=visual_mode)
     num_words = val_set.num_words
     num_answers = val_set.num_answers
 
@@ -149,13 +154,28 @@ def main(argv: Optional[List[str]] = None) -> int:
     eval_step = make_eval_step()
     rng = jax.random.key(opt.engine.seed)
 
+    features = None
+    if opt.engine.device_features:
+        # HBM-resident feature table, replicated over the mesh; batches carry
+        # image indices only (BASELINE north star "HBM-resident region tensors")
+        table = val_set.features.as_array()
+        if opt.engine.features_dtype == "bfloat16":
+            table = table.astype(jnp.bfloat16)
+        features = shard_state(table, mesh)
+        print(
+            f"device feature table: {table.shape} {table.dtype} "
+            f"({table.nbytes/1e9:.2f} GB)",
+            flush=True,
+        )
+
     if opt.engine.profile_dir:
         jax.profiler.start_trace(opt.engine.profile_dir)
 
     try:
         if args.evaluate:
             acc1, _ = engine_lib.validate(
-                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp, start_epoch
+                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp,
+                start_epoch, features=features,
             )
             print(f"val acc1: {acc1*100:.2f}", flush=True)
             return 0
@@ -170,10 +190,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         for epoch in range(start_epoch, opt.optim.epochs):
             state, _ = engine_lib.train(
-                train_loader, state, train_step, rng, exp, epoch, opt.engine.print_freq
+                train_loader, state, train_step, rng, exp, epoch,
+                opt.engine.print_freq, features=features,
             )
             acc1, _ = engine_lib.validate(
-                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp, epoch
+                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp,
+                epoch, features=features,
             )
             if args.save_model:
                 is_best = ckpt.save(jax.device_get(state), epoch, acc1)

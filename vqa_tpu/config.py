@@ -146,6 +146,8 @@ class EngineOptions:
     profile_dir: Optional[str] = None  # jax.profiler trace dir (SURVEY.md section 5.1)
     nan_check: bool = False            # jax.debug_nans-style guard (section 5.2)
     pallas: str = "auto"               # 'auto' | 'on' | 'off' — fused-kernel layer
+    device_features: bool = False      # HBM-resident feature table + on-device gather
+    features_dtype: str = "float32"    # dtype for the device feature table
 
 
 @dataclasses.dataclass

@@ -26,7 +26,9 @@ def _feature_store(opt: Options, cache: str = "ram") -> FeatureStore:
     return _STORE_CACHE[key]
 
 
-def factory(split: str, opt: Options, feature_cache: str = "ram") -> VQA2Dataset:
+def factory(
+    split: str, opt: Options, feature_cache: str = "ram", visual_mode: str = "gather"
+) -> VQA2Dataset:
     if opt.vqa.dataset != "VQA2":
         raise NotImplementedError(
             f"dataset {opt.vqa.dataset!r}: VQA2 is the graded target (SURVEY.md C24); "
@@ -47,4 +49,7 @@ def factory(split: str, opt: Options, feature_cache: str = "ram") -> VQA2Dataset
     processed = load_split(dir_proc, split)
     store = _feature_store(opt, feature_cache)
     sampling = split in ("train", "trainval") and opt.vqa.samplingans
-    return VQA2Dataset(processed, vocabs, store, opt.vqa, split, sampling=sampling)
+    return VQA2Dataset(
+        processed, vocabs, store, opt.vqa, split,
+        sampling=sampling, visual_mode=visual_mode,
+    )

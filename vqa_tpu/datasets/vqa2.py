@@ -26,13 +26,17 @@ class VQA2Dataset:
         opt: VQAOptions,
         name: str,
         sampling: bool = False,
+        visual_mode: str = "gather",
     ):
+        if visual_mode not in ("gather", "index"):
+            raise ValueError(f"visual_mode must be 'gather' or 'index', got {visual_mode!r}")
         self.split = split
         self.vocabs = vocabs
         self.features = features
         self.opt = opt
         self.name = name
         self.sampling = sampling and split.answer_pool is not None
+        self.visual_mode = visual_mode
         self.image_index = features.index_of(split.image_names.tolist())
 
     def __len__(self) -> int:
@@ -61,11 +65,15 @@ class VQA2Dataset:
         consensus answer when none are.
         """
         out: Dict[str, np.ndarray] = {
-            "visual": self.features.get(self.image_index[indices]),
             "question": self.split.questions[indices],
             "length": self.split.lengths[indices],
             "question_id": self.split.question_ids[indices],
         }
+        if self.visual_mode == "index":
+            # HBM-resident feature mode: ship indices, gather on device
+            out["image_index"] = self.image_index[indices]
+        else:
+            out["visual"] = self.features.get(self.image_index[indices])
         if self.split.answers is not None:
             answers = self.split.answers[indices]
             if self.sampling and rng is not None:

@@ -20,7 +20,7 @@ import numpy as np
 from vqa_tpu.engine.logger import Experiment
 from vqa_tpu.engine.meters import MeterBank
 
-DEVICE_KEYS = ("visual", "question", "length", "answer", "valid")
+DEVICE_KEYS = ("visual", "image_index", "question", "length", "answer", "valid")
 
 
 def make_device_transform(sharding=None, dtype=None):
@@ -60,13 +60,14 @@ def train(
     exp: Optional[Experiment],
     epoch: int,
     print_freq: int = 10,
+    features=None,
 ) -> Tuple[Any, Dict[str, float]]:
     meters = MeterBank()
     t_data = time.perf_counter()
     for i, batch in enumerate(loader.epoch(epoch)):
         device_batch, _, _ = _split_batch(batch)
         data_time = time.perf_counter() - t_data
-        state, metrics = train_step(state, device_batch, rng)
+        state, metrics = train_step(state, device_batch, rng, features)
         if print_freq and (i % print_freq == 0 or i + 1 == loader.steps_per_epoch()):
             # metrics fetch syncs; only do it on print steps
             host = {k: float(v) for k, v in metrics.items()}
@@ -91,7 +92,7 @@ def train(
 
 
 def _eval_loop(
-    loader, state, eval_step, aid_to_ans: List[str], epoch: int
+    loader, state, eval_step, aid_to_ans: List[str], epoch: int, features=None
 ) -> Tuple[Dict[str, float], List[Dict[str, Any]]]:
     total = {"n": 0, "n_labeled": 0, "correct1": 0, "correct5": 0}
     results: List[Dict[str, Any]] = []
@@ -99,7 +100,7 @@ def _eval_loop(
     t0 = time.perf_counter()
     for batch in loader.epoch(epoch):
         device_batch, question_ids, valid_host = _split_batch(batch)
-        out = eval_step(state, device_batch)
+        out = eval_step(state, device_batch, features)
         pred = np.asarray(out["pred"])
         if valid_host is not None:
             pred = pred[valid_host]
@@ -126,9 +127,9 @@ def _eval_loop(
 
 def validate(
     loader, state, eval_step, aid_to_ans: List[str],
-    exp: Optional[Experiment], epoch: int, split: str = "val",
+    exp: Optional[Experiment], epoch: int, split: str = "val", features=None,
 ) -> Tuple[float, List[Dict[str, Any]]]:
-    metrics, results = _eval_loop(loader, state, eval_step, aid_to_ans, epoch)
+    metrics, results = _eval_loop(loader, state, eval_step, aid_to_ans, epoch, features)
     if exp is not None:
         exp.log_epoch(epoch, split, metrics)
         exp.write_results(results, epoch, split)
@@ -144,9 +145,9 @@ def validate(
 
 def test(
     loader, state, eval_step, aid_to_ans: List[str],
-    exp: Optional[Experiment], epoch: int, split: str = "test",
+    exp: Optional[Experiment], epoch: int, split: str = "test", features=None,
 ) -> List[Dict[str, Any]]:
-    metrics, results = _eval_loop(loader, state, eval_step, aid_to_ans, epoch)
+    metrics, results = _eval_loop(loader, state, eval_step, aid_to_ans, epoch, features)
     if exp is not None:
         exp.log_epoch(epoch, split, metrics)
         exp.write_results(results, epoch, split)

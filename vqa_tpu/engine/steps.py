@@ -34,16 +34,34 @@ def _topk_acc(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
     return (topk == labels[:, None]).any(axis=-1)
 
 
-def make_train_step(criterion: Callable, donate: bool = True):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+def _resolve_visual(batch: Dict[str, jax.Array], features) -> jax.Array:
+    """HBM-resident feature path (BASELINE north star): when the batch
+    carries ``image_index`` instead of ``visual``, gather the region tensors
+    from the device-resident table inside the jitted step — the host ships
+    only token ids + indices (bytes, not the 36x2048 features)."""
+    if "visual" in batch:
+        return batch["visual"]
+    if features is None:
+        raise ValueError("batch has image_index but no feature table was passed")
+    return jnp.take(features, batch["image_index"], axis=0)
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+
+def make_train_step(criterion: Callable, donate: bool = True):
+    """Returns jitted (state, batch, rng, features=None) -> (state, metrics)."""
+
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        features=None,
+    ):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        visual = _resolve_visual(batch, features)
 
         def loss_fn(params):
             logits = state.apply_fn(
                 {"params": params},
-                batch["visual"],
+                visual,
                 batch["question"],
                 batch["length"],
                 train=True,
@@ -73,10 +91,10 @@ def make_eval_step():
     so partial batches aggregate exactly.
     """
 
-    def eval_step(state: TrainState, batch: Dict[str, jax.Array]):
+    def eval_step(state: TrainState, batch: Dict[str, jax.Array], features=None):
         logits = state.apply_fn(
             {"params": state.params},
-            batch["visual"],
+            _resolve_visual(batch, features),
             batch["question"],
             batch["length"],
             train=False,
