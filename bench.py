@@ -64,7 +64,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     questions, lengths, image_index, table = _synthetic_eval_arrays(rng)
 
-    model, opt = _flagship_model(NUM_WORDS, NUM_ANSWERS)
+    model, opt = _flagship_model(NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
     sample_v = jnp.zeros((2, REGIONS, DIM), jnp.bfloat16)
     params = model.init(
         jax.random.key(0),

@@ -1,108 +1,120 @@
 """Question encoders (SURVEY.md C8).
 
-Embedding + multi-layer LSTM/GRU over padded token ids via a time-major
-``lax.scan`` (flax ``nn.scan``), with masked carry updates so the final carry
-*is* the last-valid-timestep state for right-padded batches — the TPU-native
-replacement for cuDNN's variable-length RNN path (no gather, no dynamic
-shapes, fully fused under jit).
+Embedding + multi-layer LSTM/GRU over padded token ids — the TPU-native
+replacement for cuDNN's variable-length RNN path:
 
-Gate layout matches the torch cuDNN convention (i, f, g, o for LSTM; r, z, n
-for GRU) so torch-CPU oracle tests can check numerics weight-for-weight
+  * the input-side gate projection for ALL timesteps is hoisted out of the
+    recurrence into one [B*T, E] x [E, 4H] GEMM (MXU-shaped; the same
+    batching trick cuDNN applies), so the ``lax.scan`` body is just the
+    recurrent [B, H] x [H, 4H] matmul + elementwise gates;
+  * masked carry updates make the final carry the last-valid-timestep state
+    for right-padded batches — no gather, no dynamic shapes;
+  * the scan body can be swapped for the fused Pallas LSTM-cell kernel
+    (vqa_tpu.ops.lstm) behind the same parameters.
+
+Gate layout matches the torch cuDNN convention (i, f, g, o for LSTM;
+r, z, n for GRU) so torch-CPU oracle tests check numerics weight-for-weight
 (SURVEY.md section 7 "cuDNN-LSTM vs scan-LSTM numerics").
 
 The reference lineage also supports pretrained skip-thoughts encoders; those
 weights are unobtainable offline, so ``arch: skipthoughts`` maps to the same
-LSTM with the skip-thoughts dimensions (620 emb / 2400 hidden) trained from
-scratch — divergence documented in SURVEY.md section 7 "Hard parts".
+encoder with the skip-thoughts dimensions (620 emb / 2400 hidden GRU) trained
+from scratch — divergence documented in SURVEY.md section 7 "Hard parts".
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 
-class LSTMCell(nn.Module):
-    """Fused-gate LSTM cell: one [D, 4H] and one [H, 4H] matmul per step."""
+class LSTMLayer(nn.Module):
+    """Scan LSTM over a full (time-major) sequence with hoisted x-projection.
+
+    x [T, B, E], mask [T, B, 1] -> (h_last [B, H], seq [T, B, H])
+    """
 
     hidden_size: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry: Tuple[jax.Array, jax.Array], x: jax.Array):
-        h, c = carry
+    def __call__(self, x: jax.Array, mask: jax.Array):
         hs = self.hidden_size
         wx = self.param("wx", nn.initializers.lecun_normal(), (x.shape[-1], 4 * hs))
         wh = self.param("wh", nn.initializers.orthogonal(), (hs, 4 * hs))
         b = self.param("b", nn.initializers.zeros, (4 * hs,))
-        gates = (
-            jnp.dot(x, wx.astype(self.dtype), preferred_element_type=self.dtype)
-            + jnp.dot(h, wh.astype(self.dtype), preferred_element_type=self.dtype)
+        wx = wx.astype(self.dtype)
+        wh = wh.astype(self.dtype)
+
+        # input-side projection for all T steps in one GEMM
+        xg = (
+            jnp.einsum("tbe,eg->tbg", x, wx, preferred_element_type=self.dtype)
             + b.astype(self.dtype)
         )
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-        return (new_h, new_c), new_h
+
+        batch = x.shape[1]
+        init = (
+            jnp.zeros((batch, hs), dtype=self.dtype),
+            jnp.zeros((batch, hs), dtype=self.dtype),
+        )
+
+        def step(carry, inp):
+            h, c = carry
+            xg_t, m = inp
+            gates = xg_t + jnp.dot(h, wh, preferred_element_type=self.dtype)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+            # freeze carry past each row's length (right padding)
+            h = jnp.where(m, new_h, h)
+            c = jnp.where(m, new_c, c)
+            return (h, c), new_h * m
+
+        (h_last, _), seq = jax.lax.scan(step, init, (xg, mask))
+        return h_last, seq
 
 
-class GRUCell(nn.Module):
+class GRULayer(nn.Module):
+    """Scan GRU with hoisted x-projection (gate order r, z, n like torch)."""
+
     hidden_size: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry: jax.Array, x: jax.Array):
-        h = carry
+    def __call__(self, x: jax.Array, mask: jax.Array):
         hs = self.hidden_size
         wx = self.param("wx", nn.initializers.lecun_normal(), (x.shape[-1], 3 * hs))
         wh = self.param("wh", nn.initializers.orthogonal(), (hs, 3 * hs))
         bx = self.param("bx", nn.initializers.zeros, (3 * hs,))
         bh = self.param("bh", nn.initializers.zeros, (3 * hs,))
-        gx = jnp.dot(x, wx.astype(self.dtype), preferred_element_type=self.dtype) + bx.astype(self.dtype)
-        gh = jnp.dot(h, wh.astype(self.dtype), preferred_element_type=self.dtype) + bh.astype(self.dtype)
-        rx, zx, nx = jnp.split(gx, 3, axis=-1)
-        rh, zh, nh = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(rx + rh)
-        z = jax.nn.sigmoid(zx + zh)
-        n = jnp.tanh(nx + r * nh)
-        return (1.0 - z) * n + z * h, (1.0 - z) * n + z * h
+        wx = wx.astype(self.dtype)
+        wh = wh.astype(self.dtype)
 
+        gx = (
+            jnp.einsum("tbe,eg->tbg", x, wx, preferred_element_type=self.dtype)
+            + bx.astype(self.dtype)
+        )
+        batch = x.shape[1]
+        init = jnp.zeros((batch, hs), dtype=self.dtype)
+        bh_c = bh.astype(self.dtype)
 
-def _masked_scan_lstm(cell: LSTMCell, emb: jax.Array, mask: jax.Array):
-    """Time-major masked scan. Carry freezes once mask goes 0 (right pad)."""
-    batch, _ = emb.shape[1], emb.shape[0]
-    hs = cell.hidden_size
-    init = (
-        jnp.zeros((batch, hs), dtype=cell.dtype),
-        jnp.zeros((batch, hs), dtype=cell.dtype),
-    )
+        def step(h, inp):
+            gx_t, m = inp
+            gh = jnp.dot(h, wh, preferred_element_type=self.dtype) + bh_c
+            rx, zx, nx = jnp.split(gx_t, 3, axis=-1)
+            rh, zh, nh = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(rx + rh)
+            z = jax.nn.sigmoid(zx + zh)
+            n = jnp.tanh(nx + r * nh)
+            new_h = (1.0 - z) * n + z * h
+            h = jnp.where(m, new_h, h)
+            return h, new_h * m
 
-    scan = nn.scan(
-        _MaskedStep,
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=0,
-        out_axes=0,
-    )(cell)
-    (h_last, _), seq = scan(init, (emb, mask))
-    return h_last, seq
-
-
-class _MaskedStep(nn.Module):
-    cell: nn.Module
-
-    @nn.compact
-    def __call__(self, carry, xs):
-        x, m = xs  # x: [B, D], m: [B, 1]
-        new_carry, y = self.cell(carry, x)
-        if isinstance(carry, tuple):
-            kept = tuple(jnp.where(m, n, o) for n, o in zip(new_carry, carry))
-        else:
-            kept = jnp.where(m, new_carry, carry)
-        return kept, y * m
+        h_last, seq = jax.lax.scan(step, init, (gx, mask))
+        return h_last, seq
 
 
 class SeqEncoder(nn.Module):
@@ -131,19 +143,9 @@ class SeqEncoder(nn.Module):
         h_last = None
         for layer in range(self.num_layers):
             if self.cell == "lstm":
-                cell = LSTMCell(self.hidden_size, dtype=self.dtype, name=f"lstm_{layer}")
-                h_last, x = _masked_scan_lstm(cell, x, mask)
+                h_last, x = LSTMLayer(self.hidden_size, self.dtype, name=f"lstm_{layer}")(x, mask)
             elif self.cell == "gru":
-                cell = GRUCell(self.hidden_size, dtype=self.dtype, name=f"gru_{layer}")
-                init = jnp.zeros((x.shape[1], self.hidden_size), dtype=self.dtype)
-                scan = nn.scan(
-                    _MaskedStep,
-                    variable_broadcast="params",
-                    split_rngs={"params": False},
-                    in_axes=0,
-                    out_axes=0,
-                )(cell)
-                h_last, x = scan(init, (x, mask))
+                h_last, x = GRULayer(self.hidden_size, self.dtype, name=f"gru_{layer}")(x, mask)
             else:
                 raise ValueError(f"unknown cell {self.cell!r}")
             if layer + 1 < self.num_layers:
