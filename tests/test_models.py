@@ -135,7 +135,8 @@ def test_mfb_pool_signed_sqrt_l2():
     prod = (q @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]) * (
         v @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
     )
-    pooled = np.asarray(prod).reshape(B, 4, 3).sum(-1)
+    # strided pooling groups (see ops/mfb_pool.py): reshape (k, m), sum over k
+    pooled = np.asarray(prod).reshape(B, 3, 4).sum(-2)
     ss = np.sign(pooled) * np.sqrt(np.abs(pooled) + 1e-12)
     oracle = ss / np.sqrt((ss**2).sum(-1, keepdims=True) + 1e-12)
     np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-5)

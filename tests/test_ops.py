@@ -1,0 +1,103 @@
+"""Pallas kernels vs jnp references (SURVEY.md section 4 "Pallas kernels vs
+jnp reference implementations"). On the CPU test backend the kernels run in
+TPU interpret mode; a real-TPU spot check lives in tools/check_kernels.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vqa_tpu.ops import flags
+from vqa_tpu.ops.attention import glimpse_attend, glimpse_attend_reference
+from vqa_tpu.ops.lstm import lstm_seq, lstm_seq_reference, _pallas_fwd as lstm_pallas
+from vqa_tpu.ops.mfb_pool import mfb_pool, mfb_pool_reference
+from vqa_tpu.ops.attention import _pallas_fwd as att_pallas
+from vqa_tpu.ops.mfb_pool import _pallas_fwd as mfb_pallas
+
+
+@pytest.fixture(autouse=True)
+def _interpret_kernels():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_glimpse_attend_matches_reference():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((8, 36, 2)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((8, 36, 64)), jnp.float32)
+    out = att_pallas(logits, v, block_b=8)
+    ref = glimpse_attend_reference(logits, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_glimpse_attend_grad_matches_reference():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((8, 12, 2)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((8, 12, 16)), jnp.float32)
+    flags.set_pallas("off")  # grad path: custom_vjp backward vs autodiff
+    try:
+        f = lambda l, vv: (glimpse_attend(l, vv) ** 2).sum()
+        r = lambda l, vv: (glimpse_attend_reference(l, vv) ** 2).sum()
+        gl, gv = jax.grad(f, argnums=(0, 1))(logits, v)
+        rl, rv = jax.grad(r, argnums=(0, 1))(logits, v)
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(rl), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-5, atol=1e-6)
+    finally:
+        flags.set_pallas("auto")
+
+
+def test_mfb_pool_matches_reference():
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.standard_normal((128, 40)), jnp.float32)
+    out = mfb_pallas(z, k=5)
+    ref = mfb_pool_reference(z, k=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # leading dims preserved
+    z3 = z.reshape(4, 32, 40)
+    out3 = mfb_pallas(z3, k=5)
+    np.testing.assert_allclose(
+        np.asarray(out3), np.asarray(mfb_pool_reference(z3, k=5)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_mfb_pool_grad():
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((8, 20)), jnp.float32)
+    flags.set_pallas("off")
+    try:
+        g = jax.grad(lambda zz: mfb_pool(zz, 4).sum())(z)
+        r = jax.grad(lambda zz: mfb_pool_reference(zz, 4).sum())(z)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-6)
+    finally:
+        flags.set_pallas("auto")
+
+
+def test_lstm_seq_matches_reference():
+    rng = np.random.default_rng(4)
+    T, B, H = 5, 8, 16
+    xg = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    lengths = np.asarray([5, 3, 1, 5, 2, 4, 5, 5])
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] < lengths[None, :]).astype(np.float32)[..., None]
+    )
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.1, jnp.float32)
+    h_pal, seq_pal = lstm_pallas(xg, mask, wh, block_b=8)
+    h_ref, seq_ref = lstm_seq_reference(xg, mask, wh)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seq_pal), np.asarray(seq_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_dispatch_falls_back_off_tpu():
+    """With pallas=auto on the CPU backend, public entry points use jnp."""
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((3, 7, 2)), jnp.float32)  # odd B
+    v = jnp.asarray(rng.standard_normal((3, 7, 8)), jnp.float32)
+    out = glimpse_attend(logits, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(glimpse_attend_reference(logits, v)), rtol=1e-6
+    )
+    z = jnp.asarray(rng.standard_normal((3, 20)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mfb_pool(z, 4)), np.asarray(mfb_pool_reference(z, 4)), rtol=1e-6
+    )

@@ -38,7 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="vqa_tpu trainer")
     p.add_argument("--path_opt", required=True, help="model YAML under options/")
     p.add_argument("--dir_logs", default=None, help="override logs.dir_logs")
-    p.add_argument("-e", "--evaluate", action="store_true", help="eval-only on val")
+    p.add_argument("-e", "--evaluate", action="store_true", help="eval-only on --split")
+    p.add_argument("--split", default="val", choices=["val", "test"],
+                   help="eval-only split; test emits results json without scoring")
     p.add_argument("--resume", default=None, help="best | latest | <epoch>")
     p.add_argument("--save_model", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--save_all_from", type=int, default=None)
@@ -100,6 +102,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
     opt = options_from_args(args)
     _enable_compile_cache()
+    from vqa_tpu.ops.flags import set_pallas
+
+    set_pallas(opt.engine.pallas)
+    if opt.engine.nan_check:
+        jax.config.update("jax_debug_nans", True)
     run_dir = opt.logs.dir_logs
     dump_options(opt, run_dir)
     exp = Experiment(run_dir, resume=args.resume is not None)
@@ -173,6 +180,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     try:
         if args.evaluate:
+            if args.split == "test":
+                test_set = datasets_lib.factory("test", opt, visual_mode=visual_mode)
+                test_loader = BatchIterator(
+                    test_set, eval_bs, shuffle=False, pad_last=True, transform=transform
+                )
+                results = engine_lib.test(
+                    test_loader, state, eval_step, test_set.vocabs.aid_to_ans, exp,
+                    start_epoch, split="test", features=features,
+                )
+                print(f"test: {len(results)} answers emitted", flush=True)
+                return 0
             acc1, _ = engine_lib.validate(
                 val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp,
                 start_epoch, features=features,

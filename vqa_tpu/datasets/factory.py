@@ -12,7 +12,7 @@ from typing import Dict
 
 from vqa_tpu.config import Options
 from vqa_tpu.datasets.features import FeatureStore
-from vqa_tpu.datasets.interim import RAW_FILES
+from vqa_tpu.datasets.interim import RAW_FILES_BY_DATASET
 from vqa_tpu.datasets.processed import load_split, load_vocabs, processed_dir, run_prep
 from vqa_tpu.datasets.vqa2 import VQA2Dataset
 
@@ -29,20 +29,32 @@ def _feature_store(opt: Options, cache: str = "ram") -> FeatureStore:
 def factory(
     split: str, opt: Options, feature_cache: str = "ram", visual_mode: str = "gather"
 ) -> VQA2Dataset:
-    if opt.vqa.dataset != "VQA2":
+    dataset = opt.vqa.dataset
+    if dataset not in ("VQA2", "VQA", "COCOQA"):
         raise NotImplementedError(
-            f"dataset {opt.vqa.dataset!r}: VQA2 is the graded target (SURVEY.md C24); "
-            "aux datasets use the same schema and plug in here"
+            f"dataset {dataset!r}; known: VQA2 (graded target), VQA (v1), COCOQA "
+            "(SURVEY.md C24) — new adapters plug in via datasets/interim.py"
         )
     dir_proc = processed_dir(opt.vqa.dir, opt.vqa)
     need = split if split != "trainval" else "trainval"
     if not os.path.exists(os.path.join(dir_proc, f"{need}.npz")):
-        splits = ("train", "val", "test")
-        present = [
-            s
-            for s in splits
-            if os.path.exists(os.path.join(opt.vqa.dir, "raw", RAW_FILES[s][0]))
-        ]
+        if dataset == "COCOQA":
+            present = [
+                s for s in ("train", "val")
+                if os.path.exists(
+                    os.path.join(
+                        opt.vqa.dir, "raw",
+                        "train" if s == "train" else "test", "questions.txt",
+                    )
+                )
+            ]
+        else:
+            raw_files = RAW_FILES_BY_DATASET[dataset]
+            present = [
+                s
+                for s in ("train", "val", "test")
+                if os.path.exists(os.path.join(opt.vqa.dir, "raw", raw_files[s][0]))
+            ]
         run_prep(opt.vqa.dir, opt.vqa, splits=tuple(present))
 
     vocabs = load_vocabs(dir_proc)

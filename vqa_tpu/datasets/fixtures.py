@@ -24,7 +24,11 @@ from typing import Dict, List
 import numpy as np
 
 from vqa_tpu.datasets.features import write_features
-from vqa_tpu.datasets.interim import RAW_FILES, coco_split_for, image_name
+from vqa_tpu.datasets.interim import (
+    RAW_FILES_BY_DATASET,
+    coco_split_for,
+    image_name,
+)
 
 NOUNS = ["cat", "dog", "car", "tree", "ball", "shirt", "house", "bird"]
 COLORS = ["red", "blue", "green", "yellow", "black", "white"]
@@ -79,10 +83,14 @@ def generate(
     n_questions: int = 256,
     seed: int = 0,
     splits: tuple = ("train", "val", "test"),
+    dataset: str = "VQA2",
 ) -> None:
     rng = np.random.default_rng(seed)
-    dir_raw = os.path.join(dir_out, "vqa2", "raw")
+    subdir = {"VQA2": "vqa2", "VQA": "vqa1", "COCOQA": "cocoqa"}[dataset]
+    dir_raw = os.path.join(dir_out, subdir, "raw")
     os.makedirs(dir_raw, exist_ok=True)
+    if dataset == "COCOQA":
+        splits = tuple(s for s in splits if s in ("train", "val"))
 
     all_names: List[str] = []
     all_feats: List[np.ndarray] = []
@@ -124,12 +132,24 @@ def generate(
                 }
             )
 
-        qfile, afile = RAW_FILES[split]
-        with open(os.path.join(dir_raw, qfile), "w") as f:
-            json.dump({"questions": questions}, f)
-        if afile is not None:
-            with open(os.path.join(dir_raw, afile), "w") as f:
-                json.dump({"annotations": annotations}, f)
+        if dataset == "COCOQA":
+            base = os.path.join(dir_raw, "train" if split == "train" else "test")
+            os.makedirs(base, exist_ok=True)
+            with open(os.path.join(base, "questions.txt"), "w") as f:
+                f.write("\n".join(q["question"] for q in questions) + "\n")
+            with open(os.path.join(base, "answers.txt"), "w") as f:
+                f.write("\n".join(a["multiple_choice_answer"] for a in annotations) + "\n")
+            with open(os.path.join(base, "img_ids.txt"), "w") as f:
+                f.write("\n".join(str(q["image_id"]) for q in questions) + "\n")
+            with open(os.path.join(base, "types.txt"), "w") as f:
+                f.write("\n".join("0" for _ in questions) + "\n")
+        else:
+            qfile, afile = RAW_FILES_BY_DATASET[dataset][split]
+            with open(os.path.join(dir_raw, qfile), "w") as f:
+                json.dump({"questions": questions}, f)
+            if afile is not None:
+                with open(os.path.join(dir_raw, afile), "w") as f:
+                    json.dump({"annotations": annotations}, f)
 
     coco_dir = os.path.join(dir_out, "coco")
     feats = np.stack(all_feats)
@@ -143,8 +163,9 @@ def main(argv=None) -> None:
     p.add_argument("--n_images", type=int, default=64)
     p.add_argument("--n_questions", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset", default="VQA2", choices=["VQA2", "VQA", "COCOQA"])
     args = p.parse_args(argv)
-    generate(args.dir, args.n_images, args.n_questions, args.seed)
+    generate(args.dir, args.n_images, args.n_questions, args.seed, dataset=args.dataset)
     print(f"fixture written to {args.dir}")
 
 

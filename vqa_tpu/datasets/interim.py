@@ -38,6 +38,21 @@ RAW_FILES = {
     "test": ("v2_OpenEnded_mscoco_test2015_questions.json", None),
 }
 
+# VQA v1 uses the same record schemas with unprefixed file names (C24)
+RAW_FILES_VQA1 = {
+    "train": (
+        "OpenEnded_mscoco_train2014_questions.json",
+        "mscoco_train2014_annotations.json",
+    ),
+    "val": (
+        "OpenEnded_mscoco_val2014_questions.json",
+        "mscoco_val2014_annotations.json",
+    ),
+    "test": ("OpenEnded_mscoco_test2015_questions.json", None),
+}
+
+RAW_FILES_BY_DATASET = {"VQA2": RAW_FILES, "VQA": RAW_FILES_VQA1}
+
 
 def image_name(coco_split: str, image_id: int) -> str:
     return f"COCO_{coco_split}_{image_id:012d}"
@@ -47,11 +62,41 @@ def coco_split_for(split: str) -> str:
     return _SPLIT_TO_COCO[split]
 
 
+def build_interim_cocoqa(dir_raw: str, split: str) -> List[Dict[str, Any]]:
+    """COCO-QA adapter (C24): the public release ships one line-aligned txt
+    file each for questions / answers / image ids / types per split."""
+    coco = coco_split_for("train" if split == "train" else "val")
+    base = os.path.join(dir_raw, "train" if split == "train" else "test")
+
+    def lines(name: str) -> List[str]:
+        with open(os.path.join(base, name)) as f:
+            return [l.strip() for l in f if l.strip()]
+
+    questions = lines("questions.txt")
+    answers = lines("answers.txt")
+    img_ids = lines("img_ids.txt")
+    examples = []
+    for i, (q, a, iid) in enumerate(zip(questions, answers, img_ids)):
+        examples.append(
+            {
+                "question_id": i + 1,
+                "image_name": image_name(coco, int(iid)),
+                "question": q,
+                "answer": a,
+                # single-annotator dataset: the pool is the one answer
+                "answers": [a],
+            }
+        )
+    return examples
+
+
 def build_interim(
-    dir_raw: str, split: str
+    dir_raw: str, split: str, dataset: str = "VQA2"
 ) -> List[Dict[str, Any]]:
     """Join the questions and annotations files into interim examples."""
-    qfile, afile = RAW_FILES[split]
+    if dataset == "COCOQA":
+        return build_interim_cocoqa(dir_raw, split)
+    qfile, afile = RAW_FILES_BY_DATASET[dataset][split]
     with open(os.path.join(dir_raw, qfile)) as f:
         questions = json.load(f)["questions"]
 

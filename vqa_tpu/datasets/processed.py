@@ -233,7 +233,7 @@ def run_prep(dir_vqa: str, opt: VQAOptions, splits: Sequence[str] = ("train", "v
 
     interim = {}
     for split in splits:
-        interim[split] = build_interim(dir_raw, split)
+        interim[split] = build_interim(dir_raw, split, dataset=opt.dataset)
         write_interim(interim[split], dir_interim, split)
 
     if opt.trainsplit == "trainval":

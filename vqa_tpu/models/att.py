@@ -43,8 +43,12 @@ class GlimpseAttention(nn.Module):
                 nn.Dense(self.dim_h, dtype=self.dtype, name="hidden")(joint)
             )
         logits = nn.Dense(self.nb_glimpses, dtype=self.dtype, name="glimpse_logits")(joint)
-        alpha = jax.nn.softmax(logits, axis=1)                # softmax over regions
-        attended = jnp.einsum("brg,brd->bgd", alpha, v.astype(self.dtype))
+        # fused softmax-over-regions + weighted sum (vqa_tpu.ops.attention);
+        # alpha is only materialized when a caller consumes it (XLA DCE)
+        from vqa_tpu.ops.attention import glimpse_attend
+
+        attended = glimpse_attend(logits, v.astype(self.dtype))
+        alpha = jax.nn.softmax(logits, axis=1)
         return attended.reshape(attended.shape[0], -1), alpha
 
 

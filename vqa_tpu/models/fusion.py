@@ -142,8 +142,10 @@ class MFBFusion(nn.Module):
         return nn.Dropout(self.dropout_pre, deterministic=not train)(z)
 
     def pool(self, z):
-        z = z.reshape(z.shape[:-1] + (self.dim_mm, self.pool_factor)).sum(axis=-1)
-        return l2_normalize(signed_sqrt(z))
+        # fused sum-pool + signed-sqrt + L2 (vqa_tpu.ops.mfb_pool)
+        from vqa_tpu.ops.mfb_pool import mfb_pool
+
+        return mfb_pool(z, self.pool_factor)
 
     @nn.compact
     def __call__(self, q: jax.Array, v: jax.Array, train: bool = False, prev=None):

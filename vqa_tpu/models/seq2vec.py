@@ -54,27 +54,11 @@ class LSTMLayer(nn.Module):
             jnp.einsum("tbe,eg->tbg", x, wx, preferred_element_type=self.dtype)
             + b.astype(self.dtype)
         )
+        # recurrence: fused Pallas kernel on TPU (VMEM-resident wh), jnp scan
+        # reference elsewhere — same math either way (vqa_tpu.ops.lstm)
+        from vqa_tpu.ops.lstm import lstm_seq
 
-        batch = x.shape[1]
-        init = (
-            jnp.zeros((batch, hs), dtype=self.dtype),
-            jnp.zeros((batch, hs), dtype=self.dtype),
-        )
-
-        def step(carry, inp):
-            h, c = carry
-            xg_t, m = inp
-            gates = xg_t + jnp.dot(h, wh, preferred_element_type=self.dtype)
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-            # freeze carry past each row's length (right padding)
-            h = jnp.where(m, new_h, h)
-            c = jnp.where(m, new_c, c)
-            return (h, c), new_h * m
-
-        (h_last, _), seq = jax.lax.scan(step, init, (xg, mask))
-        return h_last, seq
+        return lstm_seq(xg, mask, wh)
 
 
 class GRULayer(nn.Module):

@@ -1,0 +1,159 @@
+"""Fused LSTM sequence kernel (SURVEY.md C8 kernel, section 2.2).
+
+lstm_seq(xg [T, B, 4H], mask [T, B, 1], wh [H, 4H]) -> (h_last [B, H],
+seq [T, B, H])
+
+The input-side projection xg is precomputed by one big GEMM (see
+models/seq2vec.py); this kernel runs the whole recurrence for a batch tile
+in one Mosaic program: the recurrent weights stay VMEM-resident across all
+T steps (for the hidden sizes of graded configs #1/#4/#5, wh fits VMEM),
+h/c live in VMEM scratch, and each step is one MXU matmul + VPU gates.
+
+Honest engineering note (measured, see tests/test_ops.py + bench history):
+for our shapes XLA's scan is already compute-bound at the device's sustained
+matmul rate, so this kernel is about latency (one program vs 26 dispatched
+loop bodies) and the component contract, not a FLOP win. The jnp reference
+(models/seq2vec.LSTMLayer) stays the default where it measures equal.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqa_tpu.ops.flags import pallas_enabled
+
+# wh bigger than this doesn't fit VMEM next to the working set
+MAX_VMEM_WH_BYTES = 9 * 1024 * 1024
+
+
+def lstm_seq_reference(xg: jax.Array, mask: jax.Array, wh: jax.Array):
+    hs = wh.shape[0]
+    batch = xg.shape[1]
+    init = (
+        jnp.zeros((batch, hs), dtype=xg.dtype),
+        jnp.zeros((batch, hs), dtype=xg.dtype),
+    )
+
+    def step(carry, inp):
+        h, c = carry
+        xg_t, m = inp
+        gates = xg_t + jnp.dot(h, wh, preferred_element_type=xg.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        h = jnp.where(m, new_h, h)
+        c = jnp.where(m, new_c, c)
+        return (h, c), new_h * m
+
+    (h_last, _), seq = jax.lax.scan(step, init, (xg, mask))
+    return h_last, seq
+
+
+def _kernel(xg_ref, mask_ref, wh_ref, hlast_ref, seq_ref, h_scr, c_scr):
+    T = xg_ref.shape[0]
+    H = wh_ref.shape[0]
+    h_scr[:] = jnp.zeros_like(h_scr)
+    c_scr[:] = jnp.zeros_like(c_scr)
+    wh = wh_ref[:]
+
+    def step(t, _):
+        xg_t = xg_ref[t]                                    # [bB, 4H]
+        m = mask_ref[t]                                     # [bB, 1]
+        h = h_scr[:]
+        gates = xg_t + jnp.dot(h, wh, preferred_element_type=xg_t.dtype)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        new_c = f * c_scr[:] + i * g
+        new_h = o * jnp.tanh(new_c)
+        h_scr[:] = jnp.where(m, new_h, h)
+        c_scr[:] = jnp.where(m, new_c, c_scr[:])
+        seq_ref[t] = new_h * m
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    hlast_ref[:] = h_scr[:]
+
+
+def _pallas_fwd(xg: jax.Array, mask: jax.Array, wh: jax.Array, block_b: int = 128):
+    T, B, G4 = xg.shape
+    H = wh.shape[0]
+    block_b = min(block_b, B)
+    grid = (B // block_b,)
+    mask = mask.astype(xg.dtype)
+    h_last, seq = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, block_b, G4), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, block_b, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, block_b, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H), xg.dtype),
+            jax.ShapeDtypeStruct((T, B, H), xg.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), xg.dtype),
+            pltpu.VMEM((block_b, H), xg.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * G4,
+            bytes_accessed=xg.size * xg.dtype.itemsize + wh.size * wh.dtype.itemsize,
+            transcendentals=4 * T * B * H,
+        ),
+    )(xg, mask, wh)
+    return h_last, seq
+
+
+def _vmem_budget_block_b(T: int, H: int, itemsize: int) -> int:
+    """Largest power-of-two batch tile whose working set fits ~14MB VMEM."""
+    wh_bytes = H * 4 * H * itemsize
+    budget = 14 * 1024 * 1024 - wh_bytes
+    for bb in (256, 128, 64, 32, 16, 8):
+        per_row = (T * 4 * H + T * H + 3 * H) * itemsize  # xg + seq + h/c/hlast
+        if bb * per_row <= budget:
+            return bb
+    return 0
+
+
+def _dispatch(xg: jax.Array, mask: jax.Array, wh: jax.Array):
+    T, B, _ = xg.shape
+    H = wh.shape[0]
+    wh_bytes = H * 4 * H * wh.dtype.itemsize
+    if pallas_enabled() and wh_bytes <= MAX_VMEM_WH_BYTES:
+        bb = _vmem_budget_block_b(T, H, xg.dtype.itemsize)
+        if bb and B % bb == 0:
+            return _pallas_fwd(xg, mask, wh, block_b=bb)
+    return lstm_seq_reference(xg, mask, wh)
+
+
+@jax.custom_vjp
+def lstm_seq(xg: jax.Array, mask: jax.Array, wh: jax.Array):
+    """Dispatch: Pallas on TPU when wh + tile fit VMEM, else jnp scan.
+
+    Differentiable: the backward pass is the vjp of the jnp reference with
+    recompute (rematerialized recurrence — same memory profile as wrapping
+    the scan in jax.checkpoint)."""
+    return _dispatch(xg, mask, wh)
+
+
+def _fwd(xg, mask, wh):
+    return _dispatch(xg, mask, wh), (xg, mask, wh)
+
+
+def _bwd(residuals, g):
+    xg, mask, wh = residuals
+    _, vjp = jax.vjp(lstm_seq_reference, xg, mask, wh)
+    return vjp(g)
+
+
+lstm_seq.defvjp(_fwd, _bwd)
