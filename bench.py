@@ -54,6 +54,9 @@ def _synthetic_eval_arrays(rng: np.random.Generator):
 
 def main() -> None:
     _enable_compile_cache()
+    from vqa_tpu.ops.flags import set_pallas
+
+    set_pallas(os.environ.get("BENCH_PALLAS", "auto"))
     from vqa_tpu.engine.steps import create_state, make_eval_step
     from vqa_tpu.engine.optim import factory as optim_factory
     from vqa_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
@@ -82,12 +85,22 @@ def main() -> None:
     in_shard = batch_sharding(mesh)
     n_batches = N_QUESTIONS // BATCH
 
+    # eval-time length bucketing: sorted order + per-batch question truncation
+    # to {SEQ//2, SEQ} — the LSTM scans ~mean-length steps (2 compiled shapes)
+    order = np.argsort(lengths, kind="stable")
+    questions, lengths, image_index = (
+        questions[order], lengths[order], image_index[order]
+    )
+    buckets = ((SEQ + 1) // 2, SEQ)
+
     def batches():
         for i in range(n_batches):
             sl = slice(i * BATCH, (i + 1) * BATCH)
+            tmax = int(lengths[sl].max())
+            t_b = next(b for b in buckets if b >= tmax)
             yield jax.device_put(
                 {
-                    "question": questions[sl],
+                    "question": questions[sl, :t_b],
                     "length": lengths[sl],
                     "image_index": image_index[sl],
                 },

@@ -84,7 +84,23 @@ def init_params(model, dataset, opt: Options):
     question = jnp.zeros((2, opt.vqa.maxlength), jnp.int32)
     lengths = jnp.ones((2,), jnp.int32)
     variables = model.init(jax.random.key(opt.engine.seed), visual, question, lengths)
-    return variables["params"]
+    params = variables["params"]
+
+    # optional pretrained word embeddings (e.g. locally converted skip-thoughts
+    # / GloVe table; no network here — SURVEY.md section 7 "Hard parts").
+    # npz with 'embedding' [num_words, emb_size], row-aligned to the run vocab.
+    emb_path = (opt.model.seq2vec or {}).get("pretrained_emb")
+    if emb_path:
+        table = np.load(emb_path)["embedding"]
+        current = params["encoder"]["embed"]["embedding"]
+        if table.shape != current.shape:
+            raise ValueError(
+                f"pretrained_emb shape {table.shape} != vocab embedding "
+                f"{current.shape}; regenerate the table for this vocab"
+            )
+        params["encoder"]["embed"]["embedding"] = jnp.asarray(table, current.dtype)
+        print(f"loaded pretrained embeddings from {emb_path}", flush=True)
+    return params
 
 
 def _enable_compile_cache() -> None:
@@ -153,8 +169,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     in_sharding = batch_sharding(mesh)
     transform = engine_lib.make_device_transform(in_sharding, dtype=None)
     eval_bs = opt.optim.eval_batch_size or opt.optim.batch_size
+    # eval-time length bucketing (right-pad only): sorted order + truncated
+    # question axis cut LSTM steps to ~mean length (see pipeline.BatchIterator)
+    bucketing = (
+        dict(
+            sort_by_length=True,
+            length_buckets=((opt.vqa.maxlength + 1) // 2, opt.vqa.maxlength),
+        )
+        if opt.vqa.pad == "right"
+        else {}
+    )
     val_loader = BatchIterator(
-        val_set, eval_bs, shuffle=False, pad_last=True, transform=transform
+        val_set, eval_bs, shuffle=False, pad_last=True, transform=transform, **bucketing
     )
     criterion = optim_lib.criterion_factory()
     train_step = make_train_step(criterion, donate=opt.engine.donate)
@@ -183,7 +209,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             if args.split == "test":
                 test_set = datasets_lib.factory("test", opt, visual_mode=visual_mode)
                 test_loader = BatchIterator(
-                    test_set, eval_bs, shuffle=False, pad_last=True, transform=transform
+                    test_set, eval_bs, shuffle=False, pad_last=True,
+                    transform=transform, **bucketing,
                 )
                 results = engine_lib.test(
                     test_loader, state, eval_step, test_set.vocabs.aid_to_ans, exp,

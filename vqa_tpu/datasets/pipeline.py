@@ -44,9 +44,20 @@ class BatchIterator:
         pad_last: bool = False,
         transform: Optional[Callable[[Dict[str, np.ndarray]], object]] = None,
         prefetch: int = 2,
+        sort_by_length: bool = False,
+        length_buckets: Optional[tuple] = None,
     ):
+        """``sort_by_length`` + ``length_buckets`` implement eval-time length
+        bucketing: batches are drawn in question-length order and the padded
+        question axis is truncated to the smallest bucket covering the batch,
+        so the LSTM scans ~mean-length steps instead of always maxlength.
+        Static shapes per bucket -> at most len(length_buckets) compiles.
+        Order changes are invisible downstream (results key on question_id);
+        not for training (would bias batch composition)."""
         if drop_last and pad_last:
             raise ValueError("drop_last and pad_last are mutually exclusive")
+        if sort_by_length and shuffle:
+            raise ValueError("sort_by_length is an eval-path feature; disable shuffle")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +66,8 @@ class BatchIterator:
         self.pad_last = pad_last
         self.transform = transform
         self.prefetch = prefetch
+        self.sort_by_length = sort_by_length
+        self.length_buckets = tuple(length_buckets) if length_buckets else None
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
@@ -62,9 +75,20 @@ class BatchIterator:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _truncate(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.length_buckets is None:
+            return batch
+        tmax = int(batch["length"].max())
+        bucket = next((b for b in self.length_buckets if b >= tmax), None)
+        if bucket is not None and bucket < batch["question"].shape[1]:
+            batch["question"] = batch["question"][:, :bucket]
+        return batch
+
     def _batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = epoch_order(n, self.seed, epoch, self.shuffle)
+        if self.sort_by_length:
+            order = order[np.argsort(self.dataset.split.lengths[order], kind="stable")]
         label_rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 1]))
         bs = self.batch_size
         for start in range(0, n, bs):
@@ -79,12 +103,12 @@ class BatchIterator:
                     valid = np.zeros(bs, dtype=bool)
                     valid[: len(idx)] = True
                     batch["valid"] = valid
-                    yield batch
+                    yield self._truncate(batch)
                     return
             batch = self.dataset.batch(idx, rng=label_rng)
             if self.pad_last:
                 batch["valid"] = np.ones(len(idx), dtype=bool)
-            yield batch
+            yield self._truncate(batch)
 
     def epoch(self, epoch: int = 0) -> Iterator:
         """Iterate one epoch, with background assembly/transfer."""

@@ -63,7 +63,11 @@ def _kernel(xg_ref, mask_ref, wh_ref, hlast_ref, seq_ref, h_scr, c_scr):
         xg_t = xg_ref[t]                                    # [bB, 4H]
         m = mask_ref[t]                                     # [bB, 1]
         h = h_scr[:]
-        gates = xg_t + jnp.dot(h, wh, preferred_element_type=xg_t.dtype)
+        # Mosaic requires a 32-bit matmul accumulator
+        gates = xg_t.astype(jnp.float32) + jnp.dot(
+            h, wh, preferred_element_type=jnp.float32
+        )
+        gates = gates.astype(xg_t.dtype)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         g = jnp.tanh(gates[:, 2 * H : 3 * H])
