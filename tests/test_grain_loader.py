@@ -1,0 +1,42 @@
+"""Grain DataLoader path (SURVEY.md C7: Grain-style input pipeline)."""
+
+import numpy as np
+import pytest
+
+from vqa_tpu.config import load_options
+from vqa_tpu.datasets import factory
+from vqa_tpu.datasets.fixtures import generate
+from vqa_tpu.datasets.vqa2 import grain_loader
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def val_set(tmp_path_factory):
+    d = tmp_path_factory.mktemp("grainfix")
+    generate(str(d), n_images=8, n_questions=48, seed=2)
+    opt = load_options(
+        os.path.join(REPO, "options/vqa2/concat_att.yaml"),
+        overrides=[f"vqa.dir={d}/vqa2", f"coco.dir={d}/coco", "vqa.nans=20"],
+    )
+    return factory("val", opt)
+
+
+def test_grain_loader_batches(val_set):
+    loader = grain_loader(val_set, batch_size=16, shuffle=False, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["visual"].shape == (16, 36, 2048)
+    assert batches[0]["question"].shape == (16, 26)
+    qids = np.concatenate([b["question_id"] for b in batches])
+    assert len(set(qids.tolist())) == 48
+
+
+def test_grain_loader_deterministic_shuffle(val_set):
+    a = [b["question_id"] for b in grain_loader(val_set, 16, shuffle=True, seed=7)]
+    b = [b["question_id"] for b in grain_loader(val_set, 16, shuffle=True, seed=7)]
+    c = [b["question_id"] for b in grain_loader(val_set, 16, shuffle=True, seed=8)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    assert not np.array_equal(np.concatenate(a), np.concatenate(c))

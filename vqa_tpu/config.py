@@ -96,6 +96,7 @@ class VQAOptions:
     nlp: str = "mcb"                   # tokenizer flavor
     pad: str = "right"                 # question padding side
     samplingans: bool = True           # sample answer by confidence vs most-frequent
+    augment_dir: Optional[str] = None  # Visual-Genome-style QA augmentation (C24)
 
 
 @dataclasses.dataclass

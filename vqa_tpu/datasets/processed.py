@@ -182,6 +182,8 @@ def processed_dir(dir_vqa: str, opt: VQAOptions) -> str:
         f"nans{opt.nans}_maxlen{opt.maxlength}_minw{opt.minwcount}"
         f"_{opt.nlp}_pad{opt.pad}_{opt.trainsplit}"
     )
+    if opt.augment_dir:
+        tag += "_aug"
     return os.path.join(dir_vqa, "processed", tag)
 
 
@@ -256,6 +258,25 @@ def run_prep(dir_vqa: str, opt: VQAOptions, splits: Sequence[str] = ("train", "v
     else:
         train_examples = interim[opt.trainsplit]
 
+    if opt.augment_dir:
+        # Visual-Genome-style QA augmentation (SURVEY.md C24): extra
+        # single-answer train pairs [{image_name, question, answer}], merged
+        # into the train split only (never into eval splits).
+        with open(os.path.join(opt.augment_dir, "vg_qa.json")) as f:
+            extra = json.load(f)
+        base_qid = 10_000_000  # clear of real VQA question-id space
+        augment = [
+            {
+                "question_id": base_qid + i,
+                "image_name": ex["image_name"],
+                "question": ex["question"],
+                "answer": ex["answer"],
+                "answers": [ex["answer"]],
+            }
+            for i, ex in enumerate(extra)
+        ]
+        train_examples = list(train_examples) + augment
+
     vocabs = Vocabs(
         wid_to_word=build_word_vocab(train_examples, opt.nlp, opt.minwcount),
         aid_to_ans=build_answer_vocab(train_examples, opt.nans),
@@ -264,7 +285,10 @@ def run_prep(dir_vqa: str, opt: VQAOptions, splits: Sequence[str] = ("train", "v
 
     for split in splits:
         is_train = split in ("train",) or (split == "val" and opt.trainsplit == "trainval")
-        save_split(encode_split(interim[split], vocabs, opt, is_train), dir_out, split)
+        examples = interim[split]
+        if split == "train" and opt.trainsplit == "train":
+            examples = train_examples  # includes augmentation when enabled
+        save_split(encode_split(examples, vocabs, opt, is_train), dir_out, split)
     if opt.trainsplit == "trainval":
         save_split(
             encode_split(train_examples, vocabs, opt, is_train=True), dir_out, "trainval"

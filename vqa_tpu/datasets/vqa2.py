@@ -103,3 +103,36 @@ class GrainVQA2Source:
     def __getitem__(self, idx):
         batch = self._ds.batch(np.asarray([idx]))
         return {k: v[0] for k, v in batch.items()}
+
+
+def grain_loader(
+    dataset: VQA2Dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    num_epochs: Optional[int] = 1,
+    worker_count: int = 0,
+):
+    """Grain DataLoader over the per-item source (SURVEY.md C7 equivalent).
+
+    The columnar BatchIterator is the default (faster for RAM-resident
+    arrays); this is the multiprocess-worker path for datasets that do real
+    per-item IO (h5-streaming FeatureStore, future decode-heavy sources).
+    Deterministic: order is a pure function of (seed, epoch) like the
+    reference's seeded DataLoader.
+    """
+    import grain.python as grain
+
+    sampler = grain.IndexSampler(
+        num_records=len(dataset),
+        shard_options=grain.NoSharding(),
+        shuffle=shuffle,
+        num_epochs=num_epochs,
+        seed=seed,
+    )
+    return grain.DataLoader(
+        data_source=GrainVQA2Source(dataset),
+        sampler=sampler,
+        operations=[grain.Batch(batch_size=batch_size, drop_remainder=False)],
+        worker_count=worker_count,
+    )
