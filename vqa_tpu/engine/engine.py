@@ -15,6 +15,7 @@ import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vqa_tpu.engine.logger import Experiment
@@ -94,24 +95,36 @@ def train(
 def _eval_loop(
     loader, state, eval_step, aid_to_ans: List[str], epoch: int, features=None
 ) -> Tuple[Dict[str, float], List[Dict[str, Any]]]:
+    """Dispatch the whole epoch, then ONE device->host readback: per-batch
+    syncs serialize eval on dispatch latency (this image's TPU tunnel costs
+    ~27ms per sync; real chips pay less but still pay)."""
     total = {"n": 0, "n_labeled": 0, "correct1": 0, "correct5": 0}
     results: List[Dict[str, Any]] = []
-    n_seen = 0
+    outs: List[Dict[str, jax.Array]] = []
+    metas: List[Tuple[np.ndarray, Any]] = []
     t0 = time.perf_counter()
     for batch in loader.epoch(epoch):
         device_batch, question_ids, valid_host = _split_batch(batch)
-        out = eval_step(state, device_batch, features)
-        pred = np.asarray(out["pred"])
+        outs.append(eval_step(state, device_batch, features))
+        metas.append((question_ids, valid_host))
+    if not outs:
+        return {"n": 0, "eval_time": 0.0, "qa_per_sec": 0.0}, []
+    # batches can differ in question length (bucketing) but outputs are
+    # shape-uniform, so a single stacked transfer covers the epoch
+    stacked = jax.device_get(jax.tree.map(lambda *xs: jnp.stack(xs), *outs))
+    n_seen = 0
+    for i, (question_ids, valid_host) in enumerate(metas):
+        pred = stacked["pred"][i]
         if valid_host is not None:
             pred = pred[valid_host]
             question_ids = question_ids[valid_host]
         for qid, aid in zip(question_ids.tolist(), pred.tolist()):
             results.append({"question_id": qid, "answer": aid_to_ans[aid]})
-        total["n"] += int(out["n"])
-        if "correct1" in out:
-            total["n_labeled"] += int(out["n_labeled"])
-            total["correct1"] += int(out["correct1"])
-            total["correct5"] += int(out["correct5"])
+        total["n"] += int(stacked["n"][i])
+        if "correct1" in stacked:
+            total["n_labeled"] += int(stacked["n_labeled"][i])
+            total["correct1"] += int(stacked["correct1"][i])
+            total["correct5"] += int(stacked["correct5"][i])
         n_seen += len(pred)
     wall = time.perf_counter() - t0
     metrics = {
