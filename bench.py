@@ -87,11 +87,13 @@ def main() -> None:
 
     # eval-time length bucketing: sorted order + per-batch question truncation
     # to {SEQ//2, SEQ} — the LSTM scans ~mean-length steps (2 compiled shapes)
-    order = np.argsort(lengths, kind="stable")
-    questions, lengths, image_index = (
-        questions[order], lengths[order], image_index[order]
-    )
-    buckets = ((SEQ + 1) // 2, SEQ)
+    use_buckets = os.environ.get("BENCH_BUCKETS", "1") != "0"
+    if use_buckets:
+        order = np.argsort(lengths, kind="stable")
+        questions, lengths, image_index = (
+            questions[order], lengths[order], image_index[order]
+        )
+    buckets = ((SEQ + 1) // 2, SEQ) if use_buckets else (SEQ,)
 
     def batches():
         for i in range(n_batches):

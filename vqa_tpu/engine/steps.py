@@ -12,8 +12,7 @@ Eval is a separate jit (no grads): top-1/top-5 + predicted answer ids, with a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -112,13 +111,3 @@ def make_eval_step():
         return out
 
     return jax.jit(eval_step)
-
-
-def make_forward(model, train: bool = False):
-    """Plain jitted forward (used by __graft_entry__ and bench)."""
-
-    @functools.partial(jax.jit, static_argnames=())
-    def forward(params, visual, question, length):
-        return model.apply({"params": params}, visual, question, length, train=train)
-
-    return forward

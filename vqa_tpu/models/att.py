@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from vqa_tpu.models.classifier import Classifier
-from vqa_tpu.models.fusion import MFBFusion, _ACT, l2_normalize
+from vqa_tpu.models.fusion import _ACT, l2_normalize
 from vqa_tpu.models.seq2vec import SeqEncoder
 
 

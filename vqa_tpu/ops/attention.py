@@ -13,8 +13,6 @@ also the CPU fallback and the test oracle).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
