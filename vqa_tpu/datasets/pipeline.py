@@ -46,6 +46,8 @@ class BatchIterator:
         prefetch: int = 2,
         sort_by_length: bool = False,
         length_buckets: Optional[tuple] = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         """``sort_by_length`` + ``length_buckets`` implement eval-time length
         bucketing: batches are drawn in question-length order and the padded
@@ -53,7 +55,12 @@ class BatchIterator:
         so the LSTM scans ~mean-length steps instead of always maxlength.
         Static shapes per bucket -> at most len(length_buckets) compiles.
         Order changes are invisible downstream (results key on question_id);
-        not for training (would bias batch composition)."""
+        not for training (would bias batch composition).
+
+        ``shard_index``/``shard_count`` implement per-host input sharding for
+        multi-host data parallelism (SURVEY.md section 5.8): each host draws
+        the same deterministic epoch order and takes a disjoint strided
+        slice, so shards stay balanced under shuffling."""
         if drop_last and pad_last:
             raise ValueError("drop_last and pad_last are mutually exclusive")
         if sort_by_length and shuffle:
@@ -68,9 +75,17 @@ class BatchIterator:
         self.prefetch = prefetch
         self.sort_by_length = sort_by_length
         self.length_buckets = tuple(length_buckets) if length_buckets else None
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard_index {shard_index} out of range for {shard_count}")
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        return (n - self.shard_index + self.shard_count - 1) // self.shard_count
 
     def steps_per_epoch(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -87,6 +102,9 @@ class BatchIterator:
     def _batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = epoch_order(n, self.seed, epoch, self.shuffle)
+        if self.shard_count > 1:
+            order = order[self.shard_index :: self.shard_count]
+            n = len(order)
         if self.sort_by_length:
             order = order[np.argsort(self.dataset.split.lengths[order], kind="stable")]
         label_rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 1]))
