@@ -64,17 +64,16 @@ def train(
     features=None,
 ) -> Tuple[Any, Dict[str, float]]:
     meters = MeterBank()
+    step_metrics: list = []  # device-side; one stacked transfer at epoch end
     t_data = time.perf_counter()
     for i, batch in enumerate(loader.epoch(epoch)):
         device_batch, _, _ = _split_batch(batch)
         data_time = time.perf_counter() - t_data
         state, metrics = train_step(state, device_batch, rng, features)
+        step_metrics.append(metrics)
         if print_freq and (i % print_freq == 0 or i + 1 == loader.steps_per_epoch()):
             # metrics fetch syncs; only do it on print steps
             host = {k: float(v) for k, v in metrics.items()}
-            host["data_time"] = data_time
-            n = len(batch["question_id"])
-            meters.update(host, n)
             batch_time = time.perf_counter() - t_data - data_time
             print(
                 f"Epoch [{epoch}][{i}/{loader.steps_per_epoch()}] "
@@ -83,9 +82,18 @@ def train(
                 flush=True,
             )
             if exp is not None:
-                exp.log_step(epoch, "train", i, {**host, "batch_time": batch_time})
+                exp.log_step(
+                    epoch, "train", i,
+                    {**host, "data_time": data_time, "batch_time": batch_time},
+                )
         t_data = time.perf_counter()
 
+    if step_metrics:
+        stacked = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *step_metrics)
+        )
+        for k, v in stacked.items():
+            meters.update({k: float(np.mean(v))}, n=len(step_metrics))
     avgs = meters.averages()
     if exp is not None:
         exp.log_epoch(epoch, "train", avgs)

@@ -69,8 +69,13 @@ def glimpse_attend(logits: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _dispatch(logits, v):
+    from vqa_tpu.ops import flags
+
+    # measured on v5e (tools/check_kernels.py + bench A/B): XLA's fused
+    # softmax+einsum edges out this kernel at VQA shapes (R=36 is far off the
+    # 128-lane tile), so 'auto' prefers XLA here; 'on' forces the kernel.
     B = logits.shape[0]
-    if pallas_enabled() and B % 8 == 0:
+    if flags._MODE == "on" and pallas_enabled() and B % 8 == 0:
         return _pallas_fwd(logits, v)
     return glimpse_attend_reference(logits, v)
 
