@@ -65,10 +65,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     question = jnp.asarray(row[None, :])
     lengths = jnp.asarray([length], jnp.int32)
 
-    out = model.apply(
-        {"params": state.params}, jnp.asarray(visual), question, lengths,
-        return_attention=True,
-    )
+    try:
+        out = model.apply(
+            {"params": state.params}, jnp.asarray(visual), question, lengths,
+            return_attention=True,
+        )
+    except TypeError:  # archs without an attention map (noatt, CoR)
+        out = model.apply({"params": state.params}, jnp.asarray(visual), question, lengths)
     logits, alpha = out if isinstance(out, tuple) else (out, None)
     probs = jax.nn.softmax(logits[0])
     top = np.argsort(-np.asarray(probs))[: args.topk]

@@ -89,13 +89,11 @@ class FeatureStore:
     def get(self, indices: np.ndarray) -> np.ndarray:
         if self._ram is not None:
             return self._ram[indices]
-        # h5py requires sorted unique indices for fancy selection; gather via argsort
-        order = np.argsort(indices, kind="stable")
-        sorted_idx = indices[order]
-        data = self._file["features"][sorted_idx.tolist()]
-        out = np.empty_like(data)
-        out[order] = data
-        return out
+        # h5py fancy selection needs sorted UNIQUE indices (batches repeat an
+        # image whenever two questions share it): read unique, then expand
+        unique, inverse = np.unique(indices, return_inverse=True)
+        data = self._file["features"][unique.tolist()]
+        return data[inverse]
 
     def as_array(self) -> np.ndarray:
         """Full table (preloads if in h5 mode)."""

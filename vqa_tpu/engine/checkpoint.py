@@ -58,7 +58,9 @@ class CheckpointManager:
 
         info = self.info()
         info["latest"] = epoch
-        info.setdefault("epochs", []).append(epoch)
+        epochs = info.setdefault("epochs", [])
+        if epoch not in epochs:  # re-saving an epoch (resume+retrain) is not a dup
+            epochs.append(epoch)
         is_best = acc is not None and (
             info["best_acc"] is None or acc > info["best_acc"]
         )

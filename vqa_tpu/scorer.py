@@ -88,6 +88,9 @@ def process_punctuation(text: str) -> str:
             out = out.replace(p, "")
         else:
             out = out.replace(p, " ")
+    # NOTE: the third positional arg is `count`, so only the first 32
+    # (=re.UNICODE) periods are stripped — this reproduces the official VQA
+    # eval code's exact behavior, quirk included (the metric is the contract)
     out = _PERIOD_STRIP.sub("", out, re.UNICODE)
     return out
 
