@@ -41,6 +41,34 @@ def test_lstm_matches_torch_last_valid_state():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_two_layer_lstm_matches_torch_full_length():
+    """Multi-layer stacking vs torch (full-length rows: identical semantics;
+    at padded steps we zero inter-layer activations, torch propagates them,
+    so parity is checked without padding)."""
+    rng = np.random.default_rng(7)
+    tokens_np = rng.integers(1, VOCAB, (B, T)).astype(np.int32)
+    lengths_np = np.full(B, T, np.int32)
+
+    enc = SeqEncoder(vocab_size=VOCAB, emb_size=E, hidden_size=H, num_layers=2)
+    params = enc.init(jax.random.key(1), jnp.asarray(tokens_np), jnp.asarray(lengths_np))
+    ours = np.asarray(enc.apply(params, jnp.asarray(tokens_np), jnp.asarray(lengths_np)))
+
+    p = jax.tree.map(np.asarray, params["params"])
+    lstm = torch.nn.LSTM(E, H, num_layers=2, batch_first=True)
+    with torch.no_grad():
+        for layer in range(2):
+            lp = p[f"lstm_{layer}"]
+            getattr(lstm, f"weight_ih_l{layer}").copy_(torch.from_numpy(lp["wx"].T.copy()))
+            getattr(lstm, f"weight_hh_l{layer}").copy_(torch.from_numpy(lp["wh"].T.copy()))
+            getattr(lstm, f"bias_ih_l{layer}").copy_(torch.from_numpy(lp["b"].copy()))
+            getattr(lstm, f"bias_hh_l{layer}").zero_()
+        emb = torch.from_numpy(p["embed"]["embedding"][tokens_np])
+        out, _ = lstm(emb)
+        theirs = out[:, -1].numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
 def test_gru_matches_torch():
     rng = np.random.default_rng(1)
     tokens_np = rng.integers(1, VOCAB, (B, T)).astype(np.int32)
