@@ -175,19 +175,32 @@ class MFHFusion(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+_FUSIONS = {
+    "concat": ConcatFusion,
+    "mlb": MLBFusion,
+    "mutan": MutanFusion,
+    "mfb": MFBFusion,
+    "mfh": MFHFusion,
+}
+
+
 def factory(opt: Dict[str, Any], dtype=jnp.float32) -> nn.Module:
-    """Build a fusion module from the model.fusion config dict."""
+    """Build a fusion module from the model.fusion config dict.
+
+    Unknown keys raise a config error naming the valid knobs for the arch
+    (silently ignoring them would hide hyperparameter typos — the parity
+    killers per SURVEY.md section 7)."""
     arch = opt.get("arch", "mutan")
+    try:
+        cls = _FUSIONS[arch]
+    except KeyError:
+        raise KeyError(f"unknown fusion arch {arch!r}; known: {sorted(_FUSIONS)}") from None
+    valid = {f.name for f in cls.__dataclass_fields__.values()} - {"parent", "name", "dtype"}
     kwargs = {k: v for k, v in opt.items() if k != "arch"}
-    if arch == "concat":
-        return ConcatFusion(dtype=dtype, **{k: kwargs[k] for k in kwargs if k in ("dropout_q", "dropout_v")})
-    if arch == "mlb":
-        return MLBFusion(dtype=dtype, **kwargs)
-    if arch == "mutan":
-        return MutanFusion(dtype=dtype, **kwargs)
-    if arch == "mfb":
-        kwargs.pop("mfh_order", None)
-        return MFBFusion(dtype=dtype, **kwargs)
-    if arch == "mfh":
-        return MFHFusion(dtype=dtype, **kwargs)
-    raise KeyError(f"unknown fusion arch {arch!r}")
+    unknown = set(kwargs) - valid
+    if unknown:
+        raise KeyError(
+            f"fusion arch {arch!r} got unknown option(s) {sorted(unknown)}; "
+            f"valid: {sorted(valid)}"
+        )
+    return cls(dtype=dtype, **kwargs)

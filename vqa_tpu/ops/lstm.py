@@ -25,8 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vqa_tpu.ops.flags import pallas_enabled
 
-# wh bigger than this doesn't fit VMEM next to the working set
-MAX_VMEM_WH_BYTES = 9 * 1024 * 1024
+# wh bigger than this doesn't fit VMEM next to the working set once Mosaic
+# double-buffers the grid blocks (measured OOM behavior on v5e: constant-
+# index-map blocks are buffered x2 like any other block)
+MAX_VMEM_WH_BYTES = 3 * 1024 * 1024
 
 
 def lstm_seq_reference(xg: jax.Array, mask: jax.Array, wh: jax.Array):
@@ -61,22 +63,27 @@ def _kernel(xg_ref, mask_ref, wh_ref, hlast_ref, seq_ref, h_scr, c_scr):
 
     def step(t, _):
         xg_t = xg_ref[t]                                    # [bB, 4H]
-        m = mask_ref[t]                                     # [bB, 1]
+        # arithmetic masking: bf16 compares are unsupported on this target,
+        # so blend with the 0/1 mask via multiplies (m frozen past length)
+        m = mask_ref[t].astype(jnp.float32)                 # [bB, 1]
         h = h_scr[:]
-        # Mosaic requires a 32-bit matmul accumulator
+        # all gate math in f32 (Mosaic requires a 32-bit matmul accumulator,
+        # and mixed f32/bf16 elementwise trips its verifier); cast at stores
         gates = xg_t.astype(jnp.float32) + jnp.dot(
             h, wh, preferred_element_type=jnp.float32
         )
-        gates = gates.astype(xg_t.dtype)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         g = jnp.tanh(gates[:, 2 * H : 3 * H])
         o = jax.nn.sigmoid(gates[:, 3 * H :])
-        new_c = f * c_scr[:] + i * g
+        c_old = c_scr[:].astype(jnp.float32)
+        new_c = f * c_old + i * g
         new_h = o * jnp.tanh(new_c)
-        h_scr[:] = jnp.where(m, new_h, h)
-        c_scr[:] = jnp.where(m, new_c, c_scr[:])
-        seq_ref[t] = new_h * m
+        h_old = h.astype(jnp.float32)
+        dt = h_scr.dtype
+        h_scr[:] = (m * new_h + (1.0 - m) * h_old).astype(dt)
+        c_scr[:] = (m * new_c + (1.0 - m) * c_old).astype(dt)
+        seq_ref[t] = (m * new_h).astype(dt)
         return 0
 
     jax.lax.fori_loop(0, T, step, 0)
@@ -119,11 +126,12 @@ def _pallas_fwd(xg: jax.Array, mask: jax.Array, wh: jax.Array, block_b: int = 12
 
 
 def _vmem_budget_block_b(T: int, H: int, itemsize: int) -> int:
-    """Largest power-of-two batch tile whose working set fits ~14MB VMEM."""
-    wh_bytes = H * 4 * H * itemsize
-    budget = 14 * 1024 * 1024 - wh_bytes
+    """Largest power-of-two batch tile fitting ~13MB VMEM, with Mosaic's x2
+    grid-pipelining buffers on every block (including the constant-map wh)."""
+    wh_bytes = 2 * H * 4 * H * itemsize
+    budget = 13 * 1024 * 1024 - wh_bytes
+    per_row = 2 * (T * 4 * H + T * H) * itemsize + 3 * H * itemsize  # xg+seq x2, scratch
     for bb in (256, 128, 64, 32, 16, 8):
-        per_row = (T * 4 * H + T * H + 3 * H) * itemsize  # xg + seq + h/c/hlast
         if bb * per_row <= budget:
             return bb
     return 0
