@@ -140,7 +140,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     num_answers = val_set.num_answers
 
     # --- mesh + model + optimizer -------------------------------------------
-    mesh = make_mesh()
+    mesh = make_mesh(model_parallel=opt.engine.model_parallel)
     check_batch_divisible(opt.optim.batch_size, mesh)
     model = models_lib.factory(opt.model, num_words, num_answers, dtype=opt.engine.dtype)
     params = init_params(model, val_set, opt)
@@ -152,7 +152,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         len(train_set) // opt.optim.batch_size if train_set is not None else 1
     )
     tx = optim_lib.factory(opt.optim, steps_per_epoch)
-    state = shard_state(create_state(model, params, tx), mesh)
+    state = create_state(model, params, tx)
+    if opt.engine.model_parallel > 1:
+        from vqa_tpu.parallel import shard_state_tp
+
+        state = shard_state_tp(state, mesh)
+    else:
+        state = shard_state(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), args.save_all_from)
     start_epoch = 0

@@ -149,6 +149,7 @@ class EngineOptions:
     pallas: str = "auto"               # 'auto' | 'on' | 'off' — fused-kernel layer
     device_features: bool = False      # HBM-resident feature table + on-device gather
     features_dtype: str = "float32"    # dtype for the device feature table
+    model_parallel: int = 1            # mesh 'model'-axis size (TP seam, section 2.3)
 
 
 @dataclasses.dataclass

@@ -13,3 +13,4 @@ from vqa_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_state,
 )
+from vqa_tpu.parallel.partition import shard_state_tp, tp_shardings  # noqa: F401
