@@ -1,0 +1,50 @@
+"""Predictor API over a trained run (inference convenience layer)."""
+
+import os
+
+import pytest
+
+from vqa_tpu.cli.train import main
+from vqa_tpu.datasets.fixtures import generate
+from vqa_tpu.predictor import Predictor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("predfix"))
+    generate(d, n_images=12, n_questions=64, seed=21)
+    logs = os.path.join(d, "logs")
+    overrides = [
+        "--opt", f"vqa.dir={d}/vqa2", "--opt", f"coco.dir={d}/coco",
+        "--opt", "vqa.nans=25",
+        "--opt", "model.seq2vec.emb_size=16", "--opt", "model.seq2vec.hidden_size=24",
+        "--opt", "model.attention.dim_h=16", "--opt", "model.classif.dim_h=16",
+    ]
+    rc = main([
+        "--path_opt", os.path.join(REPO, "options/vqa2/concat_att.yaml"),
+        "--dir_logs", logs, "--epochs", "1", "--batch_size", "16",
+        "--print_freq", "0", *overrides,
+    ])
+    assert rc == 0
+    return d, logs, [o for o in overrides if o != "--opt"]
+
+
+def test_predictor_answers(run):
+    d, logs, overrides = run
+    p = Predictor.from_run(
+        logs, os.path.join(REPO, "options/vqa2/concat_att.yaml"), resume="best",
+        overrides=overrides,
+    )
+    image = p.dataset.split.image_names[0]
+    answers = p.answer("What color is the cat?", image, topk=3)
+    assert len(answers) == 3
+    assert all(isinstance(a, str) and 0.0 <= prob <= 1.0 for a, prob in answers)
+    # batched path agrees with single (same answers; probs to float tolerance —
+    # different batch shapes reduce in different orders)
+    batched = p.answer_batch(["What color is the cat?"] * 2, [image] * 2, topk=3)
+    assert batched[0] == batched[1]
+    assert [a for a, _ in batched[0]] == [a for a, _ in answers]
+    for (_, p1), (_, p2) in zip(batched[0], answers):
+        assert abs(p1 - p2) < 1e-5

@@ -1,0 +1,95 @@
+"""Inference convenience API (serving-side complement to SURVEY.md C23).
+
+    from vqa_tpu.predictor import Predictor
+    p = Predictor.from_run("logs/vqa2/mutan_att", "options/vqa2/mutan_att.yaml",
+                           resume="best")
+    answers = p.answer("What color is the cat?", "COCO_val2014_000000000042")
+    # -> [(answer, prob), ...] top-k
+
+Batched: ``p.answer_batch(questions, image_names)`` runs one jitted forward
+for the whole batch. The demo CLI (cli/visu.py) is a thin wrapper over this.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_tpu.config import Options, load_options
+from vqa_tpu.datasets import factory as dataset_factory
+from vqa_tpu.datasets.processed import encode_question
+from vqa_tpu.datasets.tokenizer import get_tokenizer
+from vqa_tpu.engine.checkpoint import CheckpointManager
+from vqa_tpu.engine.optim import factory as optim_factory
+from vqa_tpu.engine.steps import create_state
+from vqa_tpu.models import factory as model_factory
+
+
+class Predictor:
+    def __init__(self, model, params, dataset, opt: Options):
+        self.model = model
+        self.params = params
+        self.dataset = dataset
+        self.opt = opt
+        self._tok = get_tokenizer(opt.vqa.nlp)
+        self._forward = jax.jit(
+            lambda p, v, q, l: model.apply({"params": p}, v, q, l)
+        )
+
+    @classmethod
+    def from_run(
+        cls,
+        dir_logs: str,
+        path_opt: str,
+        resume: str = "best",
+        overrides: Optional[List[str]] = None,
+    ) -> "Predictor":
+        import os
+
+        opt = load_options(path_opt, overrides)
+        val_set = dataset_factory("val", opt)
+        model = model_factory(
+            opt.model, val_set.num_words, val_set.num_answers, dtype=opt.engine.dtype
+        )
+        from vqa_tpu.cli.train import init_params
+
+        params = init_params(model, val_set, opt)
+        state = create_state(model, params, optim_factory(opt.optim, 1))
+        ckpt = CheckpointManager(os.path.join(dir_logs, "ckpt"))
+        state, _ = ckpt.restore(state, resume)
+        return cls(model, state.params, val_set, opt)
+
+    def encode_questions(self, questions: Sequence[str]):
+        rows, lengths = [], []
+        for q in questions:
+            row, length = encode_question(
+                self._tok(q),
+                self.dataset.vocabs.word_to_wid,
+                self.opt.vqa.maxlength,
+                self.opt.vqa.pad,
+            )
+            rows.append(row)
+            lengths.append(length)
+        return jnp.asarray(np.stack(rows)), jnp.asarray(lengths, jnp.int32)
+
+    def answer_batch(
+        self, questions: Sequence[str], image_names: Sequence[str], topk: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        visual = self.dataset.features.get(
+            self.dataset.features.index_of(list(image_names))
+        )
+        q, lengths = self.encode_questions(questions)
+        logits = self._forward(self.params, jnp.asarray(visual), q, lengths)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        out = []
+        aid_to_ans = self.dataset.vocabs.aid_to_ans
+        for row in probs:
+            top = np.argsort(-row)[:topk]
+            out.append([(aid_to_ans[a], float(row[a])) for a in top])
+        return out
+
+    def answer(self, question: str, image_name: str, topk: int = 5):
+        return self.answer_batch([question], [image_name], topk)[0]
