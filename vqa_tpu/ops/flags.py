@@ -20,8 +20,9 @@ def set_pallas(mode: str) -> None:
 
 
 def pallas_enabled() -> bool:
-    if _MODE == "on":
-        return True
+    """True when fused kernels may dispatch. Kernels are TPU Mosaic programs,
+    so even 'on' requires the TPU backend — 'on' differs from 'auto' only for
+    ops whose auto-policy prefers XLA on measured grounds (attention)."""
     if _MODE == "off":
         return False
     try:
