@@ -33,10 +33,8 @@ def run(tmp_path_factory):
 
 def test_predictor_answers(run):
     d, logs, overrides = run
-    p = Predictor.from_run(
-        logs, os.path.join(REPO, "options/vqa2/concat_att.yaml"), resume="best",
-        overrides=overrides,
-    )
+    # no path_opt: the run dir's provenance dump reproduces the exact config
+    p = Predictor.from_run(logs, resume="best")
     image = p.dataset.split.image_names[0]
     answers = p.answer("What color is the cat?", image, topk=3)
     assert len(answers) == 3

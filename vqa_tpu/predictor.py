@@ -43,13 +43,17 @@ class Predictor:
     def from_run(
         cls,
         dir_logs: str,
-        path_opt: str,
+        path_opt: Optional[str] = None,
         resume: str = "best",
         overrides: Optional[List[str]] = None,
     ) -> "Predictor":
+        """Load from a run dir. With no ``path_opt``, the run's own provenance
+        dump (options.yaml, written by the CLI) reproduces the exact config."""
         import os
 
-        opt = load_options(path_opt, overrides)
+        if path_opt is None:
+            path_opt = os.path.join(dir_logs, "options.yaml")
+        opt = load_options(path_opt, overrides, default_path=None)
         val_set = dataset_factory("val", opt)
         model = model_factory(
             opt.model, val_set.num_words, val_set.num_answers, dtype=opt.engine.dtype
