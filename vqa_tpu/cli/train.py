@@ -152,29 +152,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         len(train_set) // opt.optim.batch_size if train_set is not None else 1
     )
     tx = optim_lib.factory(opt.optim, steps_per_epoch)
-    state = create_state(model, params, tx)
-    if opt.engine.model_parallel > 1:
-        from vqa_tpu.parallel import shard_state_tp
 
-        state = shard_state_tp(state, mesh)
-    else:
-        state = shard_state(state, mesh)
+    def place(s):
+        if opt.engine.model_parallel > 1:
+            from vqa_tpu.parallel import shard_state_tp
+
+            return shard_state_tp(s, mesh)
+        return shard_state(s, mesh)
+
+    state = place(create_state(model, params, tx))
 
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), args.save_all_from)
     start_epoch = 0
     if args.resume is not None:
         state, resumed_epoch = ckpt.restore(state, args.resume)
-        state = shard_state(state, mesh)
+        state = place(state)
         start_epoch = resumed_epoch + 1
         print(f"resumed from epoch {resumed_epoch} (best acc {ckpt.best_acc})", flush=True)
     if args.start_epoch is not None:
         start_epoch = args.start_epoch
 
     # --- pipelines -----------------------------------------------------------
-    dtype = np.float32 if opt.engine.dtype == "float32" else np.dtype("bfloat16")
+    input_dtype = None if opt.engine.dtype == "float32" else jnp.bfloat16
     in_sharding = batch_sharding(mesh)
-    transform = engine_lib.make_device_transform(in_sharding, dtype=None)
+    transform = engine_lib.make_device_transform(in_sharding, dtype=input_dtype)
     eval_bs = opt.optim.eval_batch_size or opt.optim.batch_size
+    check_batch_divisible(eval_bs, mesh)
     # eval-time length bucketing (right-pad only): sorted order + truncated
     # question axis cut LSTM steps to ~mean length (see pipeline.BatchIterator)
     bucketing = (
