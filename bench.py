@@ -36,12 +36,6 @@ SEQ, REGIONS, DIM = 26, 36, 2048
 BASELINE_QA_S = 10_000.0
 
 
-def _enable_compile_cache():
-    cache = os.path.expanduser("~/.cache/vqa_tpu_jax")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-
 def _synthetic_eval_arrays(rng: np.random.Generator):
     """Real-shape eval data, generated in memory (no disk in the hot loop)."""
     questions = rng.integers(1, NUM_WORDS, (N_QUESTIONS, SEQ), dtype=np.int32)
@@ -53,7 +47,9 @@ def _synthetic_eval_arrays(rng: np.random.Generator):
 
 
 def main() -> None:
-    _enable_compile_cache()
+    from vqa_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from vqa_tpu.ops.flags import set_pallas
 
     set_pallas(os.environ.get("BENCH_PALLAS", "auto"))

@@ -59,20 +59,24 @@ def test_forward_shapes(arch):
 
 @pytest.mark.parametrize("arch", ["MFBCoAtt", "CoR"])
 def test_padding_invariance(arch):
-    """Garbage tokens beyond `length` must not change outputs (masked
-    question self-attention for MFB; masked LSTM carry for CoR)."""
+    """Pad tokens (id 0) are invisible on either side: right-padded and
+    left-padded questions encode identically (masked question self-attention
+    for MFB; masked LSTM carry for CoR)."""
     rng = np.random.default_rng(1)
     visual, question, lengths = _inputs(rng)
     opt = _cor_opt() if arch == "CoR" else _mfb_opt(arch)
     model = factory(opt, VOCAB, NANS)
     params = model.init(jax.random.key(0), visual, question, lengths)
     base = model.apply(params, visual, question, lengths)
-    corrupted = question.at[:, 3:].set(
-        jnp.asarray(rng.integers(1, VOCAB, (B, T - 3)), jnp.int32)
-    )
-    out = model.apply(params, visual, corrupted, lengths)
-    np.testing.assert_allclose(np.asarray(base[2]), np.asarray(out[2]), atol=1e-5)
-    assert not np.allclose(np.asarray(base[0]), np.asarray(out[0]))
+    left = np.zeros_like(np.asarray(question))
+    for b in range(B):
+        L = int(lengths[b])
+        left[b, T - L :] = np.asarray(question)[b, :L]
+    out = model.apply(params, visual, jnp.asarray(left), lengths)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out), atol=1e-5)
+    changed = question.at[2, 0].set((int(question[2, 0]) % (VOCAB - 1)) + 1)
+    out2 = model.apply(params, visual, changed, lengths)
+    assert not np.allclose(np.asarray(base[2]), np.asarray(out2[2]))
 
 
 def test_mfh_concatenates_blocks():

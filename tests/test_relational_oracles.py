@@ -44,10 +44,11 @@ def test_question_self_attention_masks_and_matches_numpy():
     rng = np.random.default_rng(1)
     T, H = 7, 8
     seq = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
-    lengths = jnp.asarray([7, 4, 2], jnp.int32)
+    lengths = np.asarray([7, 4, 2])
+    mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
     att = QuestionSelfAttention(glimpses=2, dim_h=6, dropout=0.0)
-    params = att.init(jax.random.key(0), seq, lengths)
-    out = np.asarray(att.apply(params, seq, lengths))
+    params = att.init(jax.random.key(0), seq, mask)
+    out = np.asarray(att.apply(params, seq, mask))
     assert out.shape == (B, 2 * H)
 
     p = jax.tree.map(np.asarray, params["params"])
@@ -63,5 +64,5 @@ def test_question_self_attention_masks_and_matches_numpy():
 
     # masking: padded timesteps get zero weight
     corrupted = seq.at[1, 4:].set(99.0)
-    out2 = np.asarray(att.apply(params, corrupted, lengths))
+    out2 = np.asarray(att.apply(params, corrupted, mask))
     np.testing.assert_allclose(out[1], out2[1], atol=1e-5)

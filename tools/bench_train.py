@@ -28,9 +28,9 @@ def main() -> None:
     from vqa_tpu.engine.steps import create_state, make_train_step
     from vqa_tpu.models import factory
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/vqa_tpu_jax")
-    )
+    from vqa_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     arch = sys.argv[1] if len(sys.argv) > 1 else "mutan"
     yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml"}[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

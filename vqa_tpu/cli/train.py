@@ -103,21 +103,12 @@ def init_params(model, dataset, opt: Options):
     return params
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache: repeat CLI invocations skip the 20-40s
-    first-compile cost (SURVEY.md Appendix A note on compile latency)."""
-    cache_dir = os.environ.get(
-        "VQA_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/vqa_tpu_jax")
-    )
-    if cache_dir and cache_dir != "0":
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-
 def main(argv: Optional[List[str]] = None) -> int:
+    from vqa_tpu.utils import enable_compile_cache
+
     args = build_argparser().parse_args(argv)
     opt = options_from_args(args)
-    _enable_compile_cache()
+    enable_compile_cache()
     from vqa_tpu.ops.flags import set_pallas
 
     set_pallas(opt.engine.pallas)

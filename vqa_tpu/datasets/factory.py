@@ -36,8 +36,7 @@ def factory(
             "(SURVEY.md C24) — new adapters plug in via datasets/interim.py"
         )
     dir_proc = processed_dir(opt.vqa.dir, opt.vqa)
-    need = split if split != "trainval" else "trainval"
-    if not os.path.exists(os.path.join(dir_proc, f"{need}.npz")):
+    if not os.path.exists(os.path.join(dir_proc, f"{split}.npz")):
         if dataset == "COCOQA":
             present = [
                 s for s in ("train", "val")

@@ -93,6 +93,8 @@ class BatchIterator:
     def _truncate(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self.length_buckets is None:
             return batch
+        if getattr(self.dataset.opt, "pad", "right") != "right":
+            return batch  # left padding puts real tokens at the end
         tmax = int(batch["length"].max())
         bucket = next((b for b in self.length_buckets if b >= tmax), None)
         if bucket is not None and bucket < batch["question"].shape[1]:
@@ -115,8 +117,9 @@ class BatchIterator:
                 if self.drop_last:
                     return
                 if self.pad_last:
-                    # pad by wrapping; callers mask with 'valid'
-                    pad = order[: bs - len(idx)]
+                    # pad by cyclic tiling (handles bs > dataset size too);
+                    # callers mask with 'valid'
+                    pad = np.resize(order, bs - len(idx))
                     batch = self.dataset.batch(np.concatenate([idx, pad]), rng=label_rng)
                     valid = np.zeros(bs, dtype=bool)
                     valid[: len(idx)] = True
@@ -137,12 +140,21 @@ class BatchIterator:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
 
         def producer():
             try:
                 for batch in self._batches(epoch):
-                    q.put(self.transform(batch) if self.transform else batch)
+                    item = self.transform(batch) if self.transform else batch
+                    while not stop.is_set():  # bounded put that honors abandonment
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
@@ -150,11 +162,23 @@ class BatchIterator:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer may abandon the generator early (break/exception):
+            # unblock and drain the producer so threads/buffers don't pin
+            stop.set()
+            while True:
+                try:
+                    if q.get_nowait() is sentinel:
+                        break
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+            t.join()
         if err:
             raise err[0]

@@ -138,16 +138,17 @@ def encode_split(
 
     # native C++ batch tokenizer+encoder for the mcb flavor (vqa_tpu.native);
     # byte-identical to the Python path (tests/test_native.py), ~8x faster
-    # (1.5M questions/sec measured)
+    # (1.5M questions/sec measured). ASCII-only: the C++ core lowercases
+    # bytewise, so any non-ASCII question falls back to Python to keep
+    # encodings identical to the (Python-built) vocab on every machine.
     native_done = False
     if opt.nlp == "mcb" and n:
         from vqa_tpu import native
 
-        if native.available():
+        texts = [ex["question"] for ex in examples]
+        if native.available() and all(t.isascii() for t in texts):
             enc = native.NativeEncoder(vocabs.wid_to_word)
-            questions, lengths = enc.encode_batch(
-                [ex["question"] for ex in examples], opt.maxlength, opt.pad
-            )
+            questions, lengths = enc.encode_batch(texts, opt.maxlength, opt.pad)
             native_done = True
 
     for i, ex in enumerate(examples):

@@ -92,16 +92,27 @@ class VQA2Dataset:
 
 
 class GrainVQA2Source:
-    """grain.RandomAccessDataSource view (per-item) over VQA2Dataset."""
+    """grain.RandomAccessDataSource view (per-item) over VQA2Dataset.
 
-    def __init__(self, dataset: VQA2Dataset):
+    Label sampling (``samplingans``) stays active and deterministic: each
+    item draws from an rng keyed by (label_seed, idx), so workers agree
+    regardless of sharding/process count.
+    """
+
+    def __init__(self, dataset: VQA2Dataset, label_seed: int = 0):
         self._ds = dataset
+        self._label_seed = label_seed
 
     def __len__(self) -> int:
         return len(self._ds)
 
     def __getitem__(self, idx):
-        batch = self._ds.batch(np.asarray([idx]))
+        rng = (
+            np.random.default_rng(np.random.SeedSequence([self._label_seed, int(idx)]))
+            if self._ds.sampling
+            else None
+        )
+        batch = self._ds.batch(np.asarray([idx]), rng=rng)
         return {k: v[0] for k, v in batch.items()}
 
 
@@ -131,7 +142,7 @@ def grain_loader(
         seed=seed,
     )
     return grain.DataLoader(
-        data_source=GrainVQA2Source(dataset),
+        data_source=GrainVQA2Source(dataset, label_seed=seed),
         sampler=sampler,
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=False)],
         worker_count=worker_count,

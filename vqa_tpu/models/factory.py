@@ -24,6 +24,34 @@ def _dtype(name: Any):
     return _DTYPES[name] if isinstance(name, str) else (name or jnp.float32)
 
 
+# typo-safety (SURVEY.md section 7: silently divergent hyperparameters are
+# the parity killers): every model-config section validates against the union
+# of its archs' knobs — a misspelled key fails loudly, while knobs shared
+# across archs (e.g. attention.dim_h in a sweep) stay legal.
+_VALID_KEYS = {
+    "seq2vec": {
+        "arch", "emb_size", "hidden_size", "num_layers", "dropout",
+        "return_sequence", "pretrained_emb",
+    },
+    "attention": {
+        "nb_glimpses", "question_glimpses", "dim_h", "dim_hq", "dim_hv",
+        "dim_mm", "R", "dropout", "dropout_q", "dropout_v", "dropout_mm",
+        "dropout_hq", "dropout_hv", "activation", "activation_q", "activation_v",
+    },
+    "classif": {"dim_h", "activation", "dropout"},
+    "chain": {"steps"},
+}
+
+
+def _check_keys(section: str, opt: dict) -> None:
+    unknown = set(opt or {}) - _VALID_KEYS[section]
+    if unknown:
+        raise KeyError(
+            f"model.{section} got unknown option(s) {sorted(unknown)}; "
+            f"valid: {sorted(_VALID_KEYS[section])}"
+        )
+
+
 def _att_scoring_fusion(arch: str, att: dict, dtype) -> tuple:
     """Build the per-region scoring fusion + glimpse-head knobs for an arch."""
     if arch == "ConcatAtt":
@@ -69,6 +97,10 @@ def factory(
 ):
     dtype = _dtype(dtype)
     arch = model_opt.arch
+    _check_keys("seq2vec", model_opt.seq2vec)
+    _check_keys("attention", model_opt.attention)
+    _check_keys("classif", model_opt.classif)
+    _check_keys("chain", model_opt.extra.get("chain", {}))
     encoder = seq2vec_lib.factory(num_words, model_opt.seq2vec, dtype=dtype)
     classif = model_opt.classif or {}
     att = model_opt.attention or {}

@@ -27,7 +27,8 @@ from vqa_tpu.models.seq2vec import SeqEncoder
 
 
 class QuestionSelfAttention(nn.Module):
-    """seq [B, T, H], lengths [B] -> [B, glimpses*H] (masked softmax over T)."""
+    """seq [B, T, H], mask [B, T] bool -> [B, glimpses*H] (masked softmax
+    over T; the mask comes from token ids so either padding side works)."""
 
     glimpses: int = 2
     dim_h: int = 512
@@ -35,11 +36,10 @@ class QuestionSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, seq: jax.Array, lengths: jax.Array, train: bool = False):
+    def __call__(self, seq: jax.Array, mask: jax.Array, train: bool = False):
         x = nn.Dropout(self.dropout, deterministic=not train)(seq)
         h = jax.nn.relu(nn.Dense(self.dim_h, dtype=self.dtype, name="hidden")(x))
         logits = nn.Dense(self.glimpses, dtype=self.dtype, name="logits")(h)  # [B,T,G]
-        mask = jnp.arange(seq.shape[1])[None, :] < lengths[:, None]           # [B,T]
         logits = jnp.where(mask[..., None], logits, jnp.finfo(logits.dtype).min)
         alpha = jax.nn.softmax(logits, axis=1)
         pooled = jnp.einsum("btg,bth->bgh", alpha, seq)
@@ -62,13 +62,11 @@ class MFBCoAttModel(nn.Module):
         train: bool = False,
         return_attention: bool = False,
     ):
-        if lengths is None:
-            lengths = (question != 0).sum(axis=-1)
         v = visual.astype(self.encoder.dtype)
         if self.l2norm_visual:
             v = l2_normalize(v)
         seq = self.encoder(question, lengths, train=train)     # [B, T, H]
-        q = self.q_attention(seq, lengths, train=train)        # [B, Gq*H]
+        q = self.q_attention(seq, question != 0, train=train)  # [B, Gq*H]
         v_att, alpha = self.v_attention(q, v, train=train)     # [B, Gv*Dv]
         z = self.final_fusion(q, v_att, train=train)
         if isinstance(z, tuple):

@@ -116,13 +116,13 @@ class SeqEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens: jax.Array, lengths: Optional[jax.Array] = None, train: bool = False):
-        if lengths is None:
-            lengths = (tokens != 0).sum(axis=-1)
         emb = nn.Embed(self.vocab_size, self.emb_size, dtype=self.dtype, name="embed")(tokens)
         emb = nn.Dropout(self.dropout, deterministic=not train)(emb)
         x = jnp.swapaxes(emb, 0, 1)  # [T, B, E]
-        t_idx = jnp.arange(x.shape[0], dtype=jnp.int32)
-        mask = (t_idx[:, None] < lengths[None, :]).astype(self.dtype)[..., None]  # [T,B,1]
+        # mask from token ids (0 is strictly <pad>): correct for BOTH padding
+        # sides — with left padding the carry stays zero through the pad
+        # prefix and the final carry is still the last real step
+        mask = (tokens != 0).astype(self.dtype).T[..., None]  # [T, B, 1]
 
         h_last = None
         for layer in range(self.num_layers):
