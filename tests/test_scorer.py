@@ -66,13 +66,16 @@ def test_question_accuracy_exact_formula():
     assert question_accuracy("blue", ["blue"] * 10) == 1.0
 
 
-def test_question_accuracy_normalizes_pred_always():
-    gts = ["2"] * 10
-    assert question_accuracy("two", gts) == 1.0  # number word -> digit
-    # gt normalization only on disagreement: unanimous 'Two ' stays raw,
-    # pred normalizes to '2' -> no match (official quirk, preserved)
+def test_question_accuracy_normalization_gated_on_disagreement():
+    """Official quirk: normalization (pred AND gts) applies only when
+    annotators disagree; unanimous ground truth compares raw strings."""
+    # unanimous '2', pred 'two': raw mismatch -> 0 (official behavior)
+    assert question_accuracy("two", ["2"] * 10) == 0.0
     assert question_accuracy("2", ["two"] * 10) == 0.0
-    # with disagreement, gts normalize too
+    # whitespace cleanup still applies either way
+    assert question_accuracy(" yes\t", ["yes"] * 10) == 1.0
+    # with disagreement, both sides normalize: 'two' -> '2'
+    assert question_accuracy("two", ["2"] * 9 + ["blue"]) == 1.0
     assert question_accuracy("2", ["two"] * 9 + ["blue"]) == 1.0
 
 

@@ -47,15 +47,6 @@ def iter_rows(paths):
                 yield int(row["image_id"]), feats, boxes
 
 
-def _coco_name(image_id: int, split_mode: str) -> str:
-    if split_mode != "auto":
-        return image_name(split_mode, image_id)
-    # the public trainval tsv mixes train2014/val2014; COCO val2014 ids are
-    # not distinguishable from the id alone, so 'auto' tags both names at
-    # the same index — lookups succeed for either split's questions
-    return None
-
-
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tsv", required=True, help="comma-separated tsv shard paths")
@@ -70,47 +61,57 @@ def main(argv=None) -> int:
 
     paths = args.tsv.split(",")
     h5_path, names_path = feature_paths(args.dir_out, args.arch, "att")
+    h5_noatt, names_noatt = feature_paths(args.dir_out, args.arch, "noatt")
     os.makedirs(os.path.dirname(h5_path), exist_ok=True)
 
-    names, all_feats, all_boxes = [], [], []
-    n_regions = None
-    for image_id, feats, boxes in iter_rows(paths):
-        if n_regions is None:
-            n_regions = feats.shape[0]
-        if feats.shape[0] != n_regions:
-            raise ValueError(
-                f"image {image_id}: {feats.shape[0]} boxes != {n_regions} "
-                "(adaptive-box tsv needs fixed-36 release or padding)"
-            )
-        if args.coco_split == "auto":
-            for split in ("train2014", "val2014"):
-                names.append(image_name(split, image_id))
-                all_feats.append(feats)
+    # streaming write (the published trainval shard is ~35GB — never held in
+    # RAM); 'auto' aliases both coco split names to ONE stored row via the
+    # dict-format names map (FeatureStore supports name->index dicts)
+    name_to_index = {}
+    n_rows = 0
+    with h5py.File(h5_path, "w") as f_att, h5py.File(h5_noatt, "w") as f_noatt:
+        d_att = d_boxes = d_noatt = None
+        for image_id, feats, boxes in iter_rows(paths):
+            if d_att is None:
+                n, dim = feats.shape
+                d_att = f_att.create_dataset(
+                    "features", shape=(0, n, dim), maxshape=(None, n, dim),
+                    dtype=np.float32, chunks=(64, n, dim),
+                )
+                d_noatt = f_noatt.create_dataset(
+                    "features", shape=(0, dim), maxshape=(None, dim),
+                    dtype=np.float32, chunks=(256, dim),
+                )
                 if args.boxes:
-                    all_boxes.append(boxes)
-        else:
-            names.append(image_name(args.coco_split, image_id))
-            all_feats.append(feats)
+                    d_boxes = f_att.create_dataset(
+                        "boxes", shape=(0, n, 4), maxshape=(None, n, 4),
+                        dtype=np.float32, chunks=(256, n, 4),
+                    )
+            if feats.shape[0] != d_att.shape[1]:
+                raise ValueError(
+                    f"image {image_id}: {feats.shape[0]} boxes != {d_att.shape[1]} "
+                    "(adaptive-box tsv needs the fixed-36 release or padding)"
+                )
+            for ds, row in ((d_att, feats), (d_noatt, feats.mean(axis=0))):
+                ds.resize(n_rows + 1, axis=0)
+                ds[n_rows] = row
             if args.boxes:
-                all_boxes.append(boxes)
-        if len(all_feats) % 1000 < (2 if args.coco_split == "auto" else 1):
-            print(f"\rconverted {len(all_feats)} rows", end="", flush=True)
+                d_boxes.resize(n_rows + 1, axis=0)
+                d_boxes[n_rows] = boxes
+            splits = (
+                ("train2014", "val2014") if args.coco_split == "auto" else (args.coco_split,)
+            )
+            for split in splits:
+                name_to_index[image_name(split, image_id)] = n_rows
+            n_rows += 1
+            if n_rows % 1000 == 0:
+                print(f"\rconverted {n_rows} images", end="", flush=True)
     print()
 
-    feats = np.stack(all_feats)
-    with h5py.File(h5_path, "w") as f:
-        f.create_dataset("features", data=feats, chunks=True)
-        if args.boxes:
-            f.create_dataset("boxes", data=np.stack(all_boxes))
-    with open(names_path, "w") as f:
-        json.dump(names, f)
-    # noatt companion: mean-pooled vectors
-    h5_noatt, names_noatt = feature_paths(args.dir_out, args.arch, "noatt")
-    with h5py.File(h5_noatt, "w") as f:
-        f.create_dataset("features", data=feats.mean(axis=1), chunks=True)
-    with open(names_noatt, "w") as f:
-        json.dump(names, f)
-    print(f"wrote {h5_path} ({feats.shape}) + noatt companion")
+    for path in (names_path, names_noatt):
+        with open(path, "w") as f:
+            json.dump(name_to_index, f)
+    print(f"wrote {h5_path} ({n_rows} rows) + noatt companion")
     return 0
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import h5py
 import numpy as np
@@ -58,8 +58,13 @@ class FeatureStore:
                 "fixture generator (python -m vqa_tpu.datasets.fixtures)"
             )
         with open(names_path) as f:
-            self._names: List[str] = json.load(f)
-        self._name_to_index: Dict[str, int] = {n: i for i, n in enumerate(self._names)}
+            names = json.load(f)
+        # list: row i is named names[i]; dict: explicit name -> row index
+        # (lets several names alias one feature row, e.g. the published
+        # bottom-up trainval shard where train2014/val2014 share ids)
+        self._name_to_index: Dict[str, int] = (
+            names if isinstance(names, dict) else {n: i for i, n in enumerate(names)}
+        )
         self._cache_mode = cache
         self._file: Optional[h5py.File] = None
         self._ram: Optional[np.ndarray] = None

@@ -285,7 +285,10 @@ def run_prep(dir_vqa: str, opt: VQAOptions, splits: Sequence[str] = ("train", "v
     save_vocabs(vocabs, dir_out)
 
     for split in splits:
-        is_train = split in ("train",) or (split == "val" and opt.trainsplit == "trainval")
+        # eval splits keep every row (OOV consensus marked -1, never dropped);
+        # only the split actually used for training applies the OOV drop —
+        # for trainsplit='trainval' that's the merged file written below
+        is_train = split == "train"
         examples = interim[split]
         if split == "train" and opt.trainsplit == "train":
             examples = train_examples  # includes augmentation when enabled

@@ -96,7 +96,10 @@ class GrainVQA2Source:
 
     Label sampling (``samplingans``) stays active and deterministic: each
     item draws from an rng keyed by (label_seed, idx), so workers agree
-    regardless of sharding/process count.
+    regardless of sharding/process count. Grain sources don't see the epoch
+    number, so the draw is FIXED per example across epochs — for per-epoch
+    label resampling (the reference's exact semantics) use BatchIterator,
+    which reseeds by (seed, epoch).
     """
 
     def __init__(self, dataset: VQA2Dataset, label_seed: int = 0):

@@ -40,6 +40,14 @@ _VALID_KEYS = {
     },
     "classif": {"dim_h", "activation", "dropout"},
     "chain": {"steps"},
+    # union across fusion archs; fusion_lib.factory additionally enforces the
+    # exact per-arch set for the archs it builds
+    "fusion": {
+        "arch", "dim_h", "dim_hq", "dim_hv", "dim_mm", "R", "pool_factor",
+        "mfh_order", "dropout", "dropout_pre", "dropout_q", "dropout_v",
+        "dropout_hq", "dropout_hv", "activation_q", "activation_v",
+        "activation_hq", "activation_hv", "project_inputs",
+    },
 }
 
 
@@ -101,6 +109,7 @@ def factory(
     _check_keys("attention", model_opt.attention)
     _check_keys("classif", model_opt.classif)
     _check_keys("chain", model_opt.extra.get("chain", {}))
+    _check_keys("fusion", model_opt.fusion)
     encoder = seq2vec_lib.factory(num_words, model_opt.seq2vec, dtype=dtype)
     classif = model_opt.classif or {}
     att = model_opt.attention or {}

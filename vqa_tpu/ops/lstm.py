@@ -143,6 +143,7 @@ def _dispatch(xg: jax.Array, mask: jax.Array, wh: jax.Array):
     wh_bytes = H * 4 * H * wh.dtype.itemsize
     if pallas_enabled() and wh_bytes <= MAX_VMEM_WH_BYTES:
         bb = _vmem_budget_block_b(T, H, xg.dtype.itemsize)
+        bb = min(bb, B)  # small batches take one grid cell, not a fallback
         if bb and B % bb == 0:
             return _pallas_fwd(xg, mask, wh, block_b=bb)
     return lstm_seq_reference(xg, mask, wh)

@@ -113,11 +113,16 @@ def normalize_answer(answer: str) -> str:
 
 
 def question_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
-    """Leave-one-out VQA accuracy for one question."""
-    pred = normalize_answer(pred)
+    """Leave-one-out VQA accuracy for one question.
+
+    Official quirk preserved: the whitespace-cleaned prediction AND ground
+    truths are punctuation/digit/article-normalized ONLY when annotators
+    disagree — with unanimous ground truth the raw strings must match."""
+    pred = pred.replace("\n", " ").replace("\t", " ").strip()
     gts = [a.replace("\n", " ").replace("\t", " ").strip() for a in gt_answers]
-    if len(set(gts)) > 1:  # official: normalize gt only on disagreement
+    if len(set(gts)) > 1:
         gts = [process_digit_article(process_punctuation(a)) for a in gts]
+        pred = process_digit_article(process_punctuation(pred))
     accs = []
     for i in range(len(gts)):
         others = gts[:i] + gts[i + 1 :]
