@@ -49,7 +49,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--dir", default=None)
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (this image's sitecustomize overrides "
+        "JAX_PLATFORMS, so the env var alone does not work)",
+    )
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vqa_tpu.cli.train import main as train_main
     from vqa_tpu.datasets.fixtures import generate
