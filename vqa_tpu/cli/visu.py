@@ -1,85 +1,60 @@
 """Qualitative demo / attention visualization (SURVEY.md C23).
 
-  python -m vqa_tpu.cli.visu --path_opt options/vqa2/mutan_att.yaml \
-      --resume best --image COCO_val2014_000000000042 \
+  python -m vqa_tpu.cli.visu --dir_logs logs/vqa2/mutan_att \
+      --image COCO_val2014_000000000042 \
       --question "What color is the cat?" [--out attention.png]
 
-Loads the checkpointed model, encodes the free-form question with the run's
-vocab, runs one forward with return_attention, prints the top-5 answers and
+Loads the run via the Predictor API (config comes from the run dir's
+provenance dump unless --path_opt overrides), prints the top-k answers, and
 writes a per-region attention heatmap (matplotlib).
 """
 
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from typing import List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vqa_tpu import datasets as datasets_lib
-from vqa_tpu import models as models_lib
-from vqa_tpu.cli.train import init_params, options_from_args
-from vqa_tpu.datasets.processed import encode_question
-from vqa_tpu.datasets.tokenizer import get_tokenizer
-from vqa_tpu.engine.checkpoint import CheckpointManager
-from vqa_tpu.engine.optim import factory as optim_factory
-from vqa_tpu.engine.steps import create_state
+from vqa_tpu.predictor import Predictor
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--path_opt", required=True)
-    p.add_argument("--dir_logs", default=None)
+    p.add_argument("--dir_logs", required=True, help="run dir (holds options.yaml + ckpt/)")
+    p.add_argument("--path_opt", default=None, help="optional config override path")
     p.add_argument("--resume", default="best")
     p.add_argument("--image", required=True, help="image name in the feature store")
     p.add_argument("--question", required=True)
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--out", default=None, help="attention heatmap png path")
     p.add_argument("--opt", action="append", default=[], metavar="KEY=VAL")
-    # accepted for parity with train.py argparse plumbing
-    p.add_argument("--evaluate", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
-    args.lr = args.batch_size = args.epochs = args.print_freq = None
-    args.seed = args.profile_dir = None
 
-    opt = options_from_args(args)
-    val_set = datasets_lib.factory("val", opt)
-    model = models_lib.factory(
-        opt.model, val_set.num_words, val_set.num_answers, dtype=opt.engine.dtype
+    predictor = Predictor.from_run(
+        args.dir_logs, args.path_opt, resume=args.resume, overrides=args.opt
     )
-    params = init_params(model, val_set, opt)
-    state = create_state(model, params, optim_factory(opt.optim, 1))
-    ckpt = CheckpointManager(os.path.join(opt.logs.dir_logs, "ckpt"))
-    state, epoch = ckpt.restore(state, args.resume)
-    print(f"loaded {args.resume} checkpoint (epoch {epoch})")
-
-    tok = get_tokenizer(opt.vqa.nlp)
-    row, length = encode_question(
-        tok(args.question), val_set.vocabs.word_to_wid, opt.vqa.maxlength, opt.vqa.pad
-    )
-    visual = val_set.features.get(val_set.features.index_of([args.image]))
-    question = jnp.asarray(row[None, :])
-    lengths = jnp.asarray([length], jnp.int32)
-
-    try:
-        out = model.apply(
-            {"params": state.params}, jnp.asarray(visual), question, lengths,
-            return_attention=True,
-        )
-    except TypeError:  # archs without an attention map (noatt, CoR)
-        out = model.apply({"params": state.params}, jnp.asarray(visual), question, lengths)
-    logits, alpha = out if isinstance(out, tuple) else (out, None)
-    probs = jax.nn.softmax(logits[0])
-    top = np.argsort(-np.asarray(probs))[: args.topk]
     print(f"Q: {args.question}")
-    for aid in top:
-        print(f"  {val_set.vocabs.aid_to_ans[aid]:20s} {float(probs[aid]):.3f}")
+    for answer, prob in predictor.answer(args.question, args.image, topk=args.topk):
+        print(f"  {answer:20s} {prob:.3f}")
 
-    if alpha is not None and args.out:
+    if args.out:
+        # attention map when the arch exposes one
+        visual = predictor.dataset.features.get(
+            predictor.dataset.features.index_of([args.image])
+        )
+        q, lengths = predictor.encode_questions([args.question])
+        try:
+            _, alpha = predictor.model.apply(
+                {"params": predictor.params}, jnp.asarray(visual), q, lengths,
+                return_attention=True,
+            )
+        except TypeError:  # archs without an attention map (noatt, CoR)
+            print("arch has no attention map; skipping --out")
+            return 0
+
         import matplotlib
 
         matplotlib.use("Agg")

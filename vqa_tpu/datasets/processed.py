@@ -178,9 +178,14 @@ def encode_split(
 # --------------------------------------------------------------------------
 
 
+# bump when the artifact SEMANTICS change (not just knobs), so stale caches
+# from older code never get silently reused; v2: eval splits keep OOV rows
+PREP_VERSION = 2
+
+
 def processed_dir(dir_vqa: str, opt: VQAOptions) -> str:
     tag = (
-        f"nans{opt.nans}_maxlen{opt.maxlength}_minw{opt.minwcount}"
+        f"v{PREP_VERSION}_nans{opt.nans}_maxlen{opt.maxlength}_minw{opt.minwcount}"
         f"_{opt.nlp}_pad{opt.pad}_{opt.trainsplit}"
     )
     if opt.augment_dir:
