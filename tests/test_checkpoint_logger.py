@@ -67,3 +67,20 @@ def test_experiment_logger_layout(tmp_path):
     assert len(history) == 1 and history[0]["loss"] == 1.2
     steps = open(os.path.join(str(tmp_path), "steps.jsonl")).read().strip().splitlines()
     assert json.loads(steps[0])["step"] == 5
+
+
+def test_experiment_logger_never_truncates(tmp_path):
+    """ADVICE r1: re-running without --resume must not wipe metric history."""
+    exp = Experiment(str(tmp_path))
+    exp.log_epoch(0, "train", {"loss": 1.0})
+    exp.close()
+    # second run, no resume flag (e.g. accidental restart / fresh eval)
+    exp2 = Experiment(str(tmp_path), resume=False)
+    exp2.log_epoch(0, "val", {"acc1": 0.5})
+    exp2.close()
+    reader = Experiment(str(tmp_path), resume=True)
+    assert len(reader.history("train")) == 1  # old history survives
+    assert len(reader.history("val")) == 1
+    raw = open(os.path.join(str(tmp_path), "metrics.jsonl")).read()
+    assert '"run_start"' in raw  # restart marked
+    reader.close()

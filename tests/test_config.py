@@ -75,6 +75,38 @@ def test_unknown_section_rejected():
         options_from_dict({"vqa": {"not_a_real_knob": 1}})
 
 
+def test_scientific_notation_lr_stays_float():
+    """ADVICE r1 (medium): --lr 1e-5 reprs as '1e-05', which YAML 1.1 parses
+    as a *string*; the named-flag path must deliver a float regardless."""
+    from vqa_tpu.cli.train import build_argparser, options_from_args
+
+    args = build_argparser().parse_args(
+        ["--path_opt", os.path.join(OPTIONS_DIR, "mutan_att.yaml"), "--lr", "1e-5"]
+    )
+    opt = options_from_args(args)
+    assert isinstance(opt.optim.lr, float) and opt.optim.lr == 1e-5
+    # the --opt string path coerces too (yaml gives back '5e-5' as str)
+    opt = load_options(
+        os.path.join(OPTIONS_DIR, "mutan_att.yaml"), overrides=["optim.lr=5e-5"]
+    )
+    assert isinstance(opt.optim.lr, float) and opt.optim.lr == 5e-5
+
+
+def test_field_type_coercion_and_errors():
+    base = os.path.join(OPTIONS_DIR, "mutan_att.yaml")
+    # int -> float promotion for float fields
+    opt = load_options(base, overrides=[("optim.lr", 1)])
+    assert isinstance(opt.optim.lr, float) and opt.optim.lr == 1.0
+    # string ints coerce for int fields
+    opt = load_options(base, overrides=[("optim.batch_size", "64")])
+    assert opt.optim.batch_size == 64
+    # garbage raises a clear TypeError at config time, not deep in optax
+    with pytest.raises(TypeError, match="optim.lr"):
+        load_options(base, overrides=[("optim.lr", "fast")])
+    with pytest.raises(TypeError, match="batch_size"):
+        load_options(base, overrides=[("optim.batch_size", "many")])
+
+
 def test_dump_options_roundtrip(tmp_path):
     opt = load_options(os.path.join(OPTIONS_DIR, "mlb_att.yaml"))
     path = dump_options(opt, str(tmp_path))

@@ -60,7 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def options_from_args(args) -> Options:
-    overrides: List[str] = []
+    # named flags carry already-typed values; pass them as tuples so they skip
+    # the YAML re-parse (--lr 1e-5 reprs as '1e-05', not valid YAML 1.1)
+    overrides: list = []
     named = {
         "logs.dir_logs": args.dir_logs,
         "optim.lr": args.lr,
@@ -72,7 +74,7 @@ def options_from_args(args) -> Options:
     }
     for key, val in named.items():
         if val is not None:
-            overrides.append(f"{key}={val}")
+            overrides.append((key, val))
     overrides.extend(args.opt)
     return load_options(args.path_opt, overrides)
 

@@ -18,7 +18,8 @@ from __future__ import annotations
 import copy
 import dataclasses
 import os
-from typing import Any, Dict, List, Optional
+import typing
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import yaml
 
@@ -176,8 +177,63 @@ _SECTION_TYPES = {
 }
 
 
-def _build_section(cls, data: Dict[str, Any]):
+def _coerce(section: str, name: str, ftype, value):
+    """Coerce a YAML/CLI value to the dataclass field's declared type.
+
+    Guards against the '--lr 1e-5' trap: YAML 1.1 parses bare-exponent floats
+    as strings, and a string lr crashes deep inside optax. Coercion happens at
+    config-build time with a clear error instead.
+    """
+    origin = typing.get_origin(ftype)
+    if origin is Union:  # Optional[T]
+        args = [a for a in typing.get_args(ftype) if a is not type(None)]
+        if value is None:
+            return None
+        if len(args) != 1:
+            return value
+        ftype = args[0]
+    where = f"{section}.{name}"
+    if ftype is float:
+        if isinstance(value, bool):
+            raise TypeError(f"{where} expects a float, got bool {value!r}")
+        if isinstance(value, (int, float)):
+            return float(value)
+        if isinstance(value, str):
+            try:
+                return float(value)
+            except ValueError:
+                raise TypeError(f"{where} expects a float, got {value!r}") from None
+    elif ftype is int:
+        if isinstance(value, bool):
+            raise TypeError(f"{where} expects an int, got bool {value!r}")
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        if isinstance(value, str):
+            try:
+                return int(value)
+            except ValueError:
+                raise TypeError(f"{where} expects an int, got {value!r}") from None
+    elif ftype is bool:
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str) and value.lower() in ("true", "false"):
+            return value.lower() == "true"
+    elif ftype is str:
+        if isinstance(value, str):
+            return value
+        if isinstance(value, (int, float, bool)):
+            return str(value)
+    else:
+        return value
+    raise TypeError(f"{where} expects {ftype.__name__}, got {type(value).__name__} {value!r}")
+
+
+def _build_section(cls, data: Dict[str, Any], section: Optional[str] = None):
+    section = section or cls.__name__
     fields = {f.name: f for f in dataclasses.fields(cls)}
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for key, value in data.items():
         if key not in fields:
@@ -185,7 +241,7 @@ def _build_section(cls, data: Dict[str, Any]):
                 f"unknown option {key!r} for section {cls.__name__}; "
                 f"known: {sorted(fields)}"
             )
-        kwargs[key] = value
+        kwargs[key] = _coerce(section, key, hints[key], value)
     return cls(**kwargs)
 
 
@@ -205,7 +261,7 @@ def options_from_dict(merged: Dict[str, Any]) -> Options:
     if unknown:
         raise KeyError(f"unknown top-level config sections: {sorted(unknown)}")
     sections = {
-        name: _build_section(cls, merged.get(name, {}) or {})
+        name: _build_section(cls, merged.get(name, {}) or {}, name)
         for name, cls in _SECTION_TYPES.items()
     }
     model = _build_model_section(merged.get("model", {}) or {})
@@ -214,17 +270,23 @@ def options_from_dict(merged: Dict[str, Any]) -> Options:
 
 def load_options(
     path_opt: str,
-    overrides: Optional[List[str]] = None,
+    overrides: Optional[Sequence[Union[str, Tuple[str, Any]]]] = None,
     default_path: Optional[str] = None,
 ) -> Options:
-    """default.yaml <- model yaml <- ``--opt`` overrides (left to right wins)."""
+    """default.yaml <- model yaml <- ``--opt`` overrides (left to right wins).
+
+    Overrides are either ``"key.sub=value"`` strings (value parsed as YAML)
+    or ``("key.sub", value)`` tuples carrying an already-typed value — named
+    CLI flags use the tuple form to avoid the YAML round-trip (a float like
+    1e-05 is not valid YAML 1.1 and would come back as a string).
+    """
     if default_path is None:
         candidate = os.path.join(os.path.dirname(os.path.dirname(path_opt)), "default.yaml")
         default_path = candidate if os.path.exists(candidate) else None
     merged: Dict[str, Any] = load_yaml(default_path) if default_path else {}
     merged = deep_merge(merged, load_yaml(path_opt))
     for spec in overrides or []:
-        key, value = parse_override(spec)
+        key, value = spec if isinstance(spec, tuple) else parse_override(spec)
         set_dotted(merged, key, value)
     return options_from_dict(merged)
 

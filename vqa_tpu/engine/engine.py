@@ -141,8 +141,16 @@ def _eval_loop(
         "qa_per_sec": n_seen / wall if wall > 0 else 0.0,
     }
     if total["n_labeled"]:
-        metrics["acc1"] = total["correct1"] / total["n_labeled"]
-        metrics["acc5"] = total["correct5"] / total["n_labeled"]
+        # acc1/acc5 are reference-comparable: every evaluated example is in
+        # the denominator, so rows whose consensus answer is OOV (answer=-1)
+        # count as incorrect — matching the lineage's val top-1. The
+        # *_labeled variants use only in-vocab rows; both denominators are
+        # recorded in metrics.jsonl (n vs n_labeled).
+        metrics["n_labeled"] = total["n_labeled"]
+        metrics["acc1"] = total["correct1"] / total["n"]
+        metrics["acc5"] = total["correct5"] / total["n"]
+        metrics["acc1_labeled"] = total["correct1"] / total["n_labeled"]
+        metrics["acc5_labeled"] = total["correct5"] / total["n_labeled"]
     return metrics, results
 
 

@@ -17,12 +17,21 @@ from typing import Any, Dict, List, Optional
 
 class Experiment:
     def __init__(self, dir_logs: str, resume: bool = False):
+        """Always appends: re-running a CLI against an existing run dir (a
+        fresh eval, an accidental restart) must never truncate the metric
+        history. ``resume`` only controls whether a run_start marker notes
+        the restart kind."""
         self.dir_logs = dir_logs
         os.makedirs(dir_logs, exist_ok=True)
         os.makedirs(os.path.join(dir_logs, "results"), exist_ok=True)
-        mode = "a" if resume else "w"
-        self._metrics = open(os.path.join(dir_logs, "metrics.jsonl"), mode)
-        self._steps = open(os.path.join(dir_logs, "steps.jsonl"), mode)
+        metrics_path = os.path.join(dir_logs, "metrics.jsonl")
+        had_history = os.path.exists(metrics_path) and os.path.getsize(metrics_path) > 0
+        self._metrics = open(metrics_path, "a")
+        self._steps = open(os.path.join(dir_logs, "steps.jsonl"), "a")
+        if had_history:
+            rec = {"ts": time.time(), "event": "run_start", "resume": bool(resume)}
+            self._metrics.write(json.dumps(rec) + "\n")
+            self._metrics.flush()
 
     def log_step(self, epoch: int, split: str, step: int, values: Dict[str, float]):
         rec = {"ts": time.time(), "epoch": epoch, "split": split, "step": step, **values}
@@ -51,6 +60,8 @@ class Experiment:
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
+                if rec.get("event"):
+                    continue
                 if split is None or rec.get("split") == split:
                     out.append(rec)
         return out

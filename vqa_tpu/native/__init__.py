@@ -14,8 +14,10 @@ Usage:
 from __future__ import annotations
 
 import ctypes
+import fcntl
 import os
 import subprocess
+import tempfile
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -36,11 +38,27 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
     try:
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-                check=True,
-                capture_output=True,
-            )
+            # compile under a file lock to a temp file, then atomic-rename:
+            # concurrent prep processes must never dlopen a half-written .so
+            with open(_SO + ".lock", "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+                        os.close(fd)
+                        try:
+                            subprocess.run(
+                                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                                 _SRC, "-o", tmp],
+                                check=True,
+                                capture_output=True,
+                            )
+                            os.replace(tmp, _SO)
+                        finally:
+                            if os.path.exists(tmp):
+                                os.unlink(tmp)
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
         lib = ctypes.CDLL(_SO)
         lib.vt_build.restype = ctypes.c_void_p
         lib.vt_build.argtypes = [ctypes.c_char_p, ctypes.c_int64]
