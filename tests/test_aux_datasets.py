@@ -14,7 +14,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OPT = os.path.join(REPO, "options/vqa2/concat_att.yaml")
 
 
-@pytest.mark.parametrize("dataset,subdir", [("VQA", "vqa1"), ("COCOQA", "cocoqa")])
+@pytest.mark.parametrize(
+    "dataset,subdir", [("VQA", "vqa1"), ("COCOQA", "cocoqa"), ("TDIUC", "tdiuc")]
+)
 def test_aux_dataset_end_to_end(dataset, subdir, tmp_path):
     generate(str(tmp_path), n_images=8, n_questions=40, seed=5, dataset=dataset)
     opt = load_options(
@@ -35,9 +37,19 @@ def test_aux_dataset_end_to_end(dataset, subdir, tmp_path):
     assert "answer" in batch  # both aux datasets are labeled on their val/test
 
 
+def test_tdiuc_interim_keeps_question_type(tmp_path):
+    """TDIUC annotations carry a 12-category question_type; the interim
+    records must preserve it for per-type reporting (SURVEY.md C24)."""
+    from vqa_tpu.datasets.interim import build_interim
+
+    generate(str(tmp_path), n_images=4, n_questions=12, seed=9, dataset="TDIUC")
+    examples = build_interim(str(tmp_path / "tdiuc" / "raw"), "train", dataset="TDIUC")
+    assert examples and all("question_type" in ex for ex in examples)
+
+
 def test_unknown_dataset_rejected(tmp_path):
     opt = load_options(
-        OPT, overrides=["vqa.dataset=TDIUC", f"vqa.dir={tmp_path}", f"coco.dir={tmp_path}"]
+        OPT, overrides=["vqa.dataset=CLEVR", f"vqa.dir={tmp_path}", f"coco.dir={tmp_path}"]
     )
     with pytest.raises(NotImplementedError):
         factory("train", opt)

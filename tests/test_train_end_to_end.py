@@ -106,3 +106,35 @@ def test_resume_latest_continues_training(trained, fix):
 
 def test_options_dumped_for_provenance(trained):
     assert os.path.exists(os.path.join(trained, "options.yaml"))
+
+
+def test_testdev_split_emits_results(trained, fix, capsys):
+    """--split testdev: prep the test-dev subset and emit the EvalAI results
+    json without scoring (SURVEY.md C22; VERDICT r1 missing item 5)."""
+    rc = main(_argv(fix, trained, ["--resume", "best", "-e", "--split", "testdev"]))
+    assert rc == 0
+    assert "testdev: 160 answers emitted" in capsys.readouterr().out
+    results_dir = os.path.join(trained, "results")
+    files = [f for f in os.listdir(results_dir) if "testdev" in f]
+    assert files, "no testdev results json written"
+    with open(os.path.join(results_dir, sorted(files)[-1])) as f:
+        results = json.load(f)
+    assert len(results) == 160 and set(results[0]) == {"question_id", "answer"}
+
+
+def test_visu_cli_smoke(trained, tmp_path, capsys):
+    """Attention visualization demo runs headless off a trained run dir
+    (SURVEY.md C23; VERDICT r1 weak item 8)."""
+    from vqa_tpu.cli.visu import main as visu_main
+
+    out_png = str(tmp_path / "att.png")
+    rc = visu_main([
+        "--dir_logs", trained,
+        "--image", "COCO_val2014_000000010000",  # fixture val ids start at 10000
+        "--question", "What color is the cat?",
+        "--out", out_png,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Q: What color is the cat?" in out
+    assert os.path.exists(out_png) and os.path.getsize(out_png) > 0

@@ -39,8 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--path_opt", required=True, help="model YAML under options/")
     p.add_argument("--dir_logs", default=None, help="override logs.dir_logs")
     p.add_argument("-e", "--evaluate", action="store_true", help="eval-only on --split")
-    p.add_argument("--split", default="val", choices=["val", "test"],
-                   help="eval-only split; test emits results json without scoring")
+    p.add_argument("--split", default="val", choices=["val", "test", "testdev"],
+                   help="eval-only split; test/testdev emit results json "
+                        "(EvalAI submission schema) without scoring")
     p.add_argument("--resume", default=None, help="best | latest | <epoch>")
     p.add_argument("--save_model", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--save_all_from", type=int, default=None)
@@ -208,17 +209,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     try:
         if args.evaluate:
-            if args.split == "test":
-                test_set = datasets_lib.factory("test", opt, visual_mode=visual_mode)
+            if args.split in ("test", "testdev"):
+                test_set = datasets_lib.factory(args.split, opt, visual_mode=visual_mode)
                 test_loader = BatchIterator(
                     test_set, eval_bs, shuffle=False, pad_last=True,
                     transform=transform, **bucketing,
                 )
                 results = engine_lib.test(
                     test_loader, state, eval_step, test_set.vocabs.aid_to_ans, exp,
-                    start_epoch, split="test", features=features,
+                    start_epoch, split=args.split, features=features,
                 )
-                print(f"test: {len(results)} answers emitted", flush=True)
+                print(f"{args.split}: {len(results)} answers emitted", flush=True)
                 return 0
             acc1, _ = engine_lib.validate(
                 val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp,

@@ -30,10 +30,10 @@ def factory(
     split: str, opt: Options, feature_cache: str = "ram", visual_mode: str = "gather"
 ) -> VQA2Dataset:
     dataset = opt.vqa.dataset
-    if dataset not in ("VQA2", "VQA", "COCOQA"):
+    if dataset not in ("VQA2", "VQA", "COCOQA", "TDIUC"):
         raise NotImplementedError(
-            f"dataset {dataset!r}; known: VQA2 (graded target), VQA (v1), COCOQA "
-            "(SURVEY.md C24) — new adapters plug in via datasets/interim.py"
+            f"dataset {dataset!r}; known: VQA2 (graded target), VQA (v1), COCOQA, "
+            "TDIUC (SURVEY.md C24) — new adapters plug in via datasets/interim.py"
         )
     dir_proc = processed_dir(opt.vqa.dir, opt.vqa)
     if not os.path.exists(os.path.join(dir_proc, f"{split}.npz")):
@@ -51,7 +51,7 @@ def factory(
             raw_files = RAW_FILES_BY_DATASET[dataset]
             present = [
                 s
-                for s in ("train", "val", "test")
+                for s in raw_files
                 if os.path.exists(os.path.join(opt.vqa.dir, "raw", raw_files[s][0]))
             ]
         run_prep(opt.vqa.dir, opt.vqa, splits=tuple(present))

@@ -82,15 +82,17 @@ def generate(
     n_images: int = 64,
     n_questions: int = 256,
     seed: int = 0,
-    splits: tuple = ("train", "val", "test"),
+    splits: tuple = ("train", "val", "test", "testdev"),
     dataset: str = "VQA2",
 ) -> None:
     rng = np.random.default_rng(seed)
-    subdir = {"VQA2": "vqa2", "VQA": "vqa1", "COCOQA": "cocoqa"}[dataset]
+    subdir = {"VQA2": "vqa2", "VQA": "vqa1", "COCOQA": "cocoqa", "TDIUC": "tdiuc"}[dataset]
     dir_raw = os.path.join(dir_out, subdir, "raw")
     os.makedirs(dir_raw, exist_ok=True)
     if dataset == "COCOQA":
         splits = tuple(s for s in splits if s in ("train", "val"))
+    elif dataset != "VQA2":
+        splits = tuple(s for s in splits if s in RAW_FILES_BY_DATASET[dataset])
 
     all_names: List[str] = []
     all_feats: List[np.ndarray] = []
@@ -163,7 +165,7 @@ def main(argv=None) -> None:
     p.add_argument("--n_images", type=int, default=64)
     p.add_argument("--n_questions", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--dataset", default="VQA2", choices=["VQA2", "VQA", "COCOQA"])
+    p.add_argument("--dataset", default="VQA2", choices=["VQA2", "VQA", "COCOQA", "TDIUC"])
     args = p.parse_args(argv)
     generate(args.dir, args.n_images, args.n_questions, args.seed, dataset=args.dataset)
     print(f"fixture written to {args.dir}")

@@ -23,7 +23,10 @@ _SPLIT_TO_COCO = {
     "train": "train2014",
     "val": "val2014",
     "test": "test2015",
-    "testdev": "test-dev2015",
+    # test-dev is a *subset of test2015*: its question file carries the
+    # test-dev2015 tag but the referenced images live in (and are named
+    # after) the test2015 release
+    "testdev": "test2015",
 }
 
 RAW_FILES = {
@@ -36,6 +39,7 @@ RAW_FILES = {
         "v2_mscoco_val2014_annotations.json",
     ),
     "test": ("v2_OpenEnded_mscoco_test2015_questions.json", None),
+    "testdev": ("v2_OpenEnded_mscoco_test-dev2015_questions.json", None),
 }
 
 # VQA v1 uses the same record schemas with unprefixed file names (C24)
@@ -49,9 +53,29 @@ RAW_FILES_VQA1 = {
         "mscoco_val2014_annotations.json",
     ),
     "test": ("OpenEnded_mscoco_test2015_questions.json", None),
+    "testdev": ("OpenEnded_mscoco_test-dev2015_questions.json", None),
 }
 
-RAW_FILES_BY_DATASET = {"VQA2": RAW_FILES, "VQA": RAW_FILES_VQA1}
+# TDIUC (C24) is distributed in the VQA v1 json format (train/val only; its
+# val split is the evaluation split). Annotations carry a per-question
+# ``question_type`` over 12 task categories, preserved into the interim
+# records for per-type reporting.
+RAW_FILES_TDIUC = {
+    "train": (
+        "OpenEnded_mscoco_train2014_questions.json",
+        "mscoco_train2014_annotations.json",
+    ),
+    "val": (
+        "OpenEnded_mscoco_val2014_questions.json",
+        "mscoco_val2014_annotations.json",
+    ),
+}
+
+RAW_FILES_BY_DATASET = {
+    "VQA2": RAW_FILES,
+    "VQA": RAW_FILES_VQA1,
+    "TDIUC": RAW_FILES_TDIUC,
+}
 
 
 def image_name(coco_split: str, image_id: int) -> str:
@@ -117,6 +141,8 @@ def build_interim(
             ann = annotations[q["question_id"]]
             ex["answer"] = ann["multiple_choice_answer"]
             ex["answers"] = [a["answer"] for a in ann["answers"]]
+            if "question_type" in ann:  # TDIUC's 12 task categories (C24)
+                ex["question_type"] = ann["question_type"]
         examples.append(ex)
     return examples
 

@@ -95,23 +95,32 @@ class GrainVQA2Source:
     """grain.RandomAccessDataSource view (per-item) over VQA2Dataset.
 
     Label sampling (``samplingans``) stays active and deterministic: each
-    item draws from an rng keyed by (label_seed, idx), so workers agree
-    regardless of sharding/process count. Grain sources don't see the epoch
-    number, so the draw is FIXED per example across epochs — for per-epoch
-    label resampling (the reference's exact semantics) use BatchIterator,
-    which reseeds by (seed, epoch).
+    item draws from an rng keyed by (label_seed, epoch, idx), so workers
+    agree regardless of sharding/process count. Grain sources don't see the
+    epoch number themselves, so per-epoch label resampling (the reference's
+    exact semantics) works by calling ``set_epoch(e)`` before each epoch —
+    or by building one ``grain_loader(..., epoch=e, num_epochs=1)`` per
+    epoch. Leaving the epoch at 0 reproduces the round-1 fixed-draw default.
     """
 
-    def __init__(self, dataset: VQA2Dataset, label_seed: int = 0):
+    def __init__(self, dataset: VQA2Dataset, label_seed: int = 0, epoch: int = 0):
         self._ds = dataset
         self._label_seed = label_seed
+        self._epoch = epoch
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-key the label-sampling rng for a new epoch (reference-semantics
+        per-epoch answer resampling). Call between epochs, not mid-epoch."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self._ds)
 
     def __getitem__(self, idx):
         rng = (
-            np.random.default_rng(np.random.SeedSequence([self._label_seed, int(idx)]))
+            np.random.default_rng(
+                np.random.SeedSequence([self._label_seed, self._epoch, int(idx)])
+            )
             if self._ds.sampling
             else None
         )
@@ -126,6 +135,7 @@ def grain_loader(
     seed: int = 0,
     num_epochs: Optional[int] = 1,
     worker_count: int = 0,
+    epoch: int = 0,
 ):
     """Grain DataLoader over the per-item source (SURVEY.md C7 equivalent).
 
@@ -133,7 +143,9 @@ def grain_loader(
     arrays); this is the multiprocess-worker path for datasets that do real
     per-item IO (h5-streaming FeatureStore, future decode-heavy sources).
     Deterministic: order is a pure function of (seed, epoch) like the
-    reference's seeded DataLoader.
+    reference's seeded DataLoader. For the reference's per-epoch answer
+    resampling, build one loader per epoch with ``epoch=e, num_epochs=1`` —
+    both the shuffle order and the label draws re-key on the epoch.
     """
     import grain.python as grain
 
@@ -142,10 +154,10 @@ def grain_loader(
         shard_options=grain.NoSharding(),
         shuffle=shuffle,
         num_epochs=num_epochs,
-        seed=seed,
+        seed=seed + epoch,
     )
     return grain.DataLoader(
-        data_source=GrainVQA2Source(dataset, label_seed=seed),
+        data_source=GrainVQA2Source(dataset, label_seed=seed, epoch=epoch),
         sampler=sampler,
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=False)],
         worker_count=worker_count,
