@@ -47,6 +47,43 @@ def test_glimpse_attend_grad_matches_reference():
         flags.set_pallas("auto")
 
 
+def test_glimpse_head_matches_reference():
+    from vqa_tpu.ops.attention import _head_pallas, glimpse_head_reference
+
+    rng = np.random.default_rng(6)
+    joint = jnp.asarray(rng.standard_normal((8, 36, 48)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((48, 2)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2,)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((8, 36, 64)), jnp.float32)
+    out, logits = _head_pallas(joint, w, b, v, block_b=8)
+    ref_out, ref_logits = glimpse_head_reference(joint, w, b, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_glimpse_head_grad_matches_reference():
+    from vqa_tpu.ops.attention import glimpse_head, glimpse_head_reference
+
+    rng = np.random.default_rng(7)
+    joint = jnp.asarray(rng.standard_normal((4, 9, 12)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((12, 2)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2,)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((4, 9, 8)), jnp.float32)
+    flags.set_pallas("off")
+    try:
+        f = lambda *a: (glimpse_head(*a)[0] ** 2).sum()
+        r = lambda *a: (glimpse_head_reference(*a)[0] ** 2).sum()
+        for gi, ri in zip(
+            jax.grad(f, argnums=(0, 1, 2, 3))(joint, w, b, v),
+            jax.grad(r, argnums=(0, 1, 2, 3))(joint, w, b, v),
+        ):
+            np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), rtol=1e-5, atol=1e-6)
+    finally:
+        flags.set_pallas("auto")
+
+
 def test_mfb_pool_matches_reference():
     rng = np.random.default_rng(2)
     z = jnp.asarray(rng.standard_normal((128, 40)), jnp.float32)

@@ -39,8 +39,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", 16))
 def timed(fn, readback):
     _ = np.asarray(readback(fn()))  # warm + drain
     t0 = time.perf_counter()
-    outs = [fn() for _ in range(ITERS)]
-    _ = np.asarray(readback(outs[-1]))
+    out = None
+    for _ in range(ITERS):  # keep only the last output live: holding all
+        out = fn()          # ITERS results (e.g. 16 x 0.5GB xg) OOMs HBM
+    _ = np.asarray(readback(out))
     return (time.perf_counter() - t0) / ITERS
 
 

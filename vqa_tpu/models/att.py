@@ -22,6 +22,26 @@ from vqa_tpu.models.fusion import _ACT, l2_normalize
 from vqa_tpu.models.seq2vec import SeqEncoder
 
 
+class _GlimpseTail(nn.Module):
+    """Logits Dense + softmax-over-regions + weighted sums, dispatched to the
+    fused Mosaic program (ops.attention.glimpse_head) behind the same params
+    as an nn.Dense — the param tree stays {kernel, bias} so checkpoints and
+    oracles are layout-identical to the unfused head."""
+
+    nb_glimpses: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, joint: jax.Array, v: jax.Array):
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (joint.shape[-1], self.nb_glimpses)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.nb_glimpses,))
+        from vqa_tpu.ops.attention import glimpse_head
+
+        return glimpse_head(joint, w.astype(self.dtype), b.astype(self.dtype), v)
+
+
 class GlimpseAttention(nn.Module):
     """q [B, Dq], v [B, R, Dv] -> (attended [B, G*Dv], alpha [B, R, G])."""
 
@@ -42,12 +62,11 @@ class GlimpseAttention(nn.Module):
             joint = _ACT[self.activation](
                 nn.Dense(self.dim_h, dtype=self.dtype, name="hidden")(joint)
             )
-        logits = nn.Dense(self.nb_glimpses, dtype=self.dtype, name="glimpse_logits")(joint)
-        # fused softmax-over-regions + weighted sum (vqa_tpu.ops.attention);
+        # fused logits+softmax+weighted-sum tail (vqa_tpu.ops.attention);
         # alpha is only materialized when a caller consumes it (XLA DCE)
-        from vqa_tpu.ops.attention import glimpse_attend
-
-        attended = glimpse_attend(logits, v.astype(self.dtype))
+        attended, logits = _GlimpseTail(
+            self.nb_glimpses, dtype=self.dtype, name="glimpse_logits"
+        )(joint, v.astype(self.dtype))
         alpha = jax.nn.softmax(logits, axis=1)
         return attended.reshape(attended.shape[0], -1), alpha
 
