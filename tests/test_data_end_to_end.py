@@ -88,6 +88,36 @@ def test_batch_iterator_epoch(opt):
     assert len(set(qids.tolist())) == 64
 
 
+def test_bucketed_shuffle_covers_and_shortens(opt):
+    """Train-time bucketed shuffling (engine.train_bucketing): every example
+    exactly once, batches length-homogeneous + truncated, order deterministic
+    per (seed, epoch) and different across epochs."""
+    train = factory("train", opt)
+    kw = dict(
+        batch_size=8, shuffle=True, seed=4, drop_last=True,
+        bucket_window=2, length_buckets=(13, 26),
+    )
+    it = BatchIterator(train, **kw)
+    batches = list(it.epoch(0))
+    n_full = len(train) // 8
+    assert len(batches) == n_full
+    qids = np.concatenate([b["question_id"] for b in batches])
+    assert len(set(qids.tolist())) == len(qids)  # no example twice
+    # fixture questions are short: sorting inside windows must truncate most
+    # batches to the 13-bucket
+    widths = {b["question"].shape[1] for b in batches}
+    assert 13 in widths and widths <= {13, 26}
+    for b in batches:  # truncation never cuts real tokens
+        assert int(b["length"].max()) <= b["question"].shape[1]
+    # determinism + epoch variation
+    again = [b["question_id"] for b in BatchIterator(train, **kw).epoch(0)]
+    np.testing.assert_array_equal(qids, np.concatenate(again))
+    other = np.concatenate(
+        [b["question_id"] for b in BatchIterator(train, **kw).epoch(1)]
+    )
+    assert not np.array_equal(qids, other)
+
+
 def test_batch_iterator_transform_and_threading(opt):
     val = factory("val", opt)
     it = BatchIterator(

@@ -84,6 +84,35 @@ def test_glimpse_head_grad_matches_reference():
         flags.set_pallas("auto")
 
 
+def test_relation_attend_matches_reference():
+    from vqa_tpu.ops.relation import _pallas_fwd as rel_pallas, relation_attend_reference
+
+    rng = np.random.default_rng(8)
+    pg = jnp.asarray(rng.standard_normal((8, 36, 64)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((8, 36, 64)), jnp.float32)
+    out = rel_pallas(pg, r, block_b=8)
+    ref = relation_attend_reference(pg, r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_relation_attend_grad_matches_reference():
+    from vqa_tpu.ops.relation import relation_attend, relation_attend_reference
+
+    rng = np.random.default_rng(9)
+    pg = jnp.asarray(rng.standard_normal((4, 6, 12)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((4, 6, 12)), jnp.float32)
+    flags.set_pallas("off")
+    try:
+        f = lambda *a: (relation_attend(*a) ** 2).sum()
+        ref = lambda *a: (relation_attend_reference(*a) ** 2).sum()
+        for gi, ri in zip(
+            jax.grad(f, argnums=(0, 1))(pg, r), jax.grad(ref, argnums=(0, 1))(pg, r)
+        ):
+            np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), rtol=1e-5, atol=1e-6)
+    finally:
+        flags.set_pallas("auto")
+
+
 def test_mfb_pool_matches_reference():
     rng = np.random.default_rng(2)
     z = jnp.asarray(rng.standard_normal((128, 40)), jnp.float32)

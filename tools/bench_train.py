@@ -2,6 +2,10 @@
 bench.py eval throughput per BASELINE.md; this quantifies the full
 fwd+bwd+adam step for the graded full-train configs #3/#5).
 
+Measures the donated train step at each length bucket (T=26 full pad and
+T=13 — what engine.train_bucketing feeds) and reports the blended rate for a
+VQA-like length distribution. BENCH_BATCH sweeps the batch size.
+
 Usage: python tools/bench_train.py [arch]   (arch: mutan | cor; default mutan)
 """
 
@@ -20,6 +24,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 256))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 NUM_WORDS, NUM_ANSWERS = 12_000, 2_000
 SEQ, REGIONS, DIM = 26, 36, 2048
+# fraction of bucketed train batches landing in the short (T=13) bucket:
+# VQA v2 questions average ~6 tokens; >90% fit 13. Uniform-5..26 synthetic
+# data gives ~0.41. Report both blends.
+BUCKET13_FRAC = {"vqa_like": 0.92, "uniform": 0.41}
 
 
 def main() -> None:
@@ -38,38 +46,53 @@ def main() -> None:
     model = factory(opt.model, NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
 
     rng = np.random.default_rng(0)
-    batch = {
-        "visual": jnp.asarray(
-            rng.standard_normal((BATCH, REGIONS, DIM)), jnp.bfloat16
-        ),
-        "question": jnp.asarray(rng.integers(1, NUM_WORDS, (BATCH, SEQ)), jnp.int32),
-        "length": jnp.asarray(rng.integers(5, SEQ + 1, BATCH), jnp.int32),
-        "answer": jnp.asarray(rng.integers(0, NUM_ANSWERS, BATCH), jnp.int32),
-    }
+
+    def make_batch(t):
+        return {
+            "visual": jnp.asarray(
+                rng.standard_normal((BATCH, REGIONS, DIM)), jnp.bfloat16
+            ),
+            "question": jnp.asarray(rng.integers(1, NUM_WORDS, (BATCH, t)), jnp.int32),
+            "length": jnp.asarray(rng.integers(5, min(t, SEQ) + 1, BATCH), jnp.int32),
+            "answer": jnp.asarray(rng.integers(0, NUM_ANSWERS, BATCH), jnp.int32),
+        }
+
+    batch26 = make_batch(SEQ)
     params = model.init(
-        jax.random.key(0), batch["visual"][:2], batch["question"][:2], batch["length"][:2]
+        jax.random.key(0), batch26["visual"][:2], batch26["question"][:2],
+        batch26["length"][:2],
     )["params"]
-    state = create_state(model, params, optim_factory(opt.optim, 1))
-    step = make_train_step(criterion_factory(), donate=True)
+    state0 = create_state(model, params, optim_factory(opt.optim, 1))
+    step = make_train_step(criterion_factory(), donate=False)
     key = jax.random.key(0)
 
-    state, metrics = step(state, batch, key)  # compile
-    _ = float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, batch, key)
-    _ = float(metrics["loss"])
-    wall = time.perf_counter() - t0
-    qa_s = STEPS * BATCH / wall
+    def rate(batch):
+        state = state0
+        state, metrics = step(state, batch, key)  # compile
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = step(state, batch, key)
+        _ = float(metrics["loss"])
+        return STEPS * BATCH / (time.perf_counter() - t0), float(metrics["loss"])
+
+    qa26, loss = rate(batch26)
+    qa13, _ = rate(make_batch((SEQ + 1) // 2))
+    blended = {
+        name: round(1.0 / (f / qa13 + (1 - f) / qa26), 1)
+        for name, f in BUCKET13_FRAC.items()
+    }
     print(
         json.dumps(
             {
                 "metric": f"train_step_throughput_{arch}",
-                "value": round(qa_s, 1),
+                "value": round(qa26, 1),
                 "unit": "QA pairs/sec/chip",
+                "t13_value": round(qa13, 1),
+                "bucketed_blend": blended,
                 "steps": STEPS,
                 "batch": BATCH,
-                "loss": round(float(metrics["loss"]), 3),
+                "loss": round(loss, 3),
             }
         )
     )

@@ -228,6 +228,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"val acc1: {acc1*100:.2f}", flush=True)
             return 0
 
+        train_bucketing = (
+            dict(
+                bucket_window=opt.engine.train_bucketing,
+                length_buckets=((opt.vqa.maxlength + 1) // 2, opt.vqa.maxlength),
+            )
+            if opt.engine.train_bucketing and opt.vqa.pad == "right"
+            else {}
+        )
         train_loader = BatchIterator(
             train_set,
             opt.optim.batch_size,
@@ -235,6 +243,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             seed=opt.engine.seed,
             drop_last=True,
             transform=transform,
+            **train_bucketing,
         )
         for epoch in range(start_epoch, opt.optim.epochs):
             state, _ = engine_lib.train(

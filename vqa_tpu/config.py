@@ -151,6 +151,10 @@ class EngineOptions:
     device_features: bool = False      # HBM-resident feature table + on-device gather
     features_dtype: str = "float32"    # dtype for the device feature table
     model_parallel: int = 1            # mesh 'model'-axis size (TP seam, section 2.3)
+    # train-time bucketed shuffling: sort by length inside windows of
+    # N*batch_size, shuffle batch order; cuts LSTM steps to ~mean length.
+    # 0 = off (the reference's exact uniform shuffle)
+    train_bucketing: int = 0
 
 
 @dataclasses.dataclass

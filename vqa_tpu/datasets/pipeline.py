@@ -46,6 +46,7 @@ class BatchIterator:
         prefetch: int = 2,
         sort_by_length: bool = False,
         length_buckets: Optional[tuple] = None,
+        bucket_window: int = 0,
         shard_index: int = 0,
         shard_count: int = 1,
     ):
@@ -57,6 +58,13 @@ class BatchIterator:
         Order changes are invisible downstream (results key on question_id);
         not for training (would bias batch composition).
 
+        ``bucket_window`` (train path) implements BUCKETED SHUFFLING: shuffle
+        the epoch, sort by length inside windows of bucket_window*batch_size
+        examples, then shuffle the batch order. Batches stay random across
+        the dataset but length-homogeneous inside, so with ``length_buckets``
+        the LSTM scans ~mean length during training too. 0 = off (the
+        reference's exact uniform shuffle). Deterministic per (seed, epoch).
+
         ``shard_index``/``shard_count`` implement per-host input sharding for
         multi-host data parallelism (SURVEY.md section 5.8): each host draws
         the same deterministic epoch order and takes a disjoint strided
@@ -65,6 +73,8 @@ class BatchIterator:
             raise ValueError("drop_last and pad_last are mutually exclusive")
         if sort_by_length and shuffle:
             raise ValueError("sort_by_length is an eval-path feature; disable shuffle")
+        if bucket_window and not shuffle:
+            raise ValueError("bucket_window is a train-path feature; enable shuffle")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -75,6 +85,7 @@ class BatchIterator:
         self.prefetch = prefetch
         self.sort_by_length = sort_by_length
         self.length_buckets = tuple(length_buckets) if length_buckets else None
+        self.bucket_window = bucket_window
         if not (0 <= shard_index < shard_count):
             raise ValueError(f"shard_index {shard_index} out of range for {shard_count}")
         self.shard_index = shard_index
@@ -109,9 +120,23 @@ class BatchIterator:
             n = len(order)
         if self.sort_by_length:
             order = order[np.argsort(self.dataset.split.lengths[order], kind="stable")]
-        label_rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 1]))
         bs = self.batch_size
-        for start in range(0, n, bs):
+        starts = np.arange(0, n, bs)
+        if self.bucket_window:
+            # bucketed shuffle: length-sort inside windows, shuffle batch order
+            w = self.bucket_window * bs
+            lengths = self.dataset.split.lengths
+            order = np.concatenate([
+                order[s : s + w][np.argsort(lengths[order[s : s + w]], kind="stable")]
+                for s in range(0, n, w)
+            ])
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 2]))
+            full = starts[starts + bs <= n]
+            rng.shuffle(full)
+            # any partial batch stays LAST (drop_last/pad_last assume it)
+            starts = np.concatenate([full, starts[starts + bs > n]])
+        label_rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, 1]))
+        for start in starts:
             idx = order[start : start + bs]
             if len(idx) < bs:
                 if self.drop_last:

@@ -54,14 +54,15 @@ class CoRStep(nn.Module):
         r = jnp.tanh(nn.Dense(d, dtype=self.dtype, name="rel_dst")(drop(objects)))
         g = jnp.tanh(nn.Dense(d, dtype=self.dtype, name="rel_guide")(drop(q)))
 
-        # factorized pairwise relation logits: s_ij = <p_i * g, r_j>
-        s = jnp.einsum("bnd,bmd->bnm", p * g[:, None, :], r)  # [B,N,N] one matmul
-        s = s * jax.lax.rsqrt(jnp.asarray(float(d), self.dtype))
-        alpha = jax.nn.softmax(s, axis=-1)
+        # factorized pairwise relations s_ij = <p_i * g, r_j> -> softmax ->
+        # absorb: fused relation core (vqa_tpu.ops.relation; jnp reference
+        # elsewhere — one batched matmul each way, no [B,N,N,D] tensor)
+        from vqa_tpu.ops.relation import relation_attend
+
+        absorbed = relation_attend(p * g[:, None, :], r)
 
         # relation -> object: each object absorbs its attended partners,
         # modulated by the guided source projection (Hadamard), residual add
-        absorbed = jnp.einsum("bnm,bmd->bnd", alpha, r)
         update = nn.Dense(
             objects.shape[-1], dtype=self.dtype, name="rel_to_obj"
         )(absorbed * (p * g[:, None, :]))
