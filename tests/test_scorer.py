@@ -112,3 +112,47 @@ def test_evaluate_report():
 def test_evaluate_missing_annotation_raises():
     with pytest.raises(KeyError):
         evaluate([{"question_id": 99, "answer": "x"}], [])
+
+
+def test_every_contraction_table_entry_normalizes():
+    """Sweep ALL vendored table entries through the full normalize path
+    (VERDICT r1 weak 9: goldens covered ~15 of 100+ entries). Values remain
+    from-memory vendoring until the reference mount populates (SURVEY.md
+    Appendix B item 6 byte-diffs them); this pins every entry against
+    in-repo regressions, including the official quirks: capitalized keys
+    (Id've/Im/Ive) are dead because normalization lowercases first, and
+    "somebody'd" -> "somebodyd" is the table's flipped entry."""
+    from vqa_tpu.scorer import CONTRACTIONS, normalize_answer
+
+    for key, want in CONTRACTIONS.items():
+        low = key.lower()
+        expected = CONTRACTIONS.get(low, low)
+        got = normalize_answer(key)
+        assert got == expected, (key, got, expected)
+        if key != low:  # dead capitalized key: must NOT rewrite
+            assert normalize_answer(key) == low
+
+
+def test_every_number_word_and_article():
+    from vqa_tpu.scorer import ARTICLES, MANUAL_MAP, normalize_answer
+
+    for word, digit in MANUAL_MAP.items():
+        assert normalize_answer(word) == digit
+        assert normalize_answer(f"the {word} dogs") == f"{digit} dogs"
+    for art in ARTICLES:
+        assert normalize_answer(f"{art} cat") == "cat"
+        # articles drop only as standalone words
+        assert normalize_answer("another") == "another"
+
+
+def test_punctuation_context_rules():
+    from vqa_tpu.scorer import process_punctuation
+
+    # space-adjacent punctuation is deleted; embedded punctuation -> space
+    assert process_punctuation("red , blue") == "red  blue"
+    assert process_punctuation("red,blue") == "red blue"
+    # digit-grouping commas are deleted even without spaces
+    assert process_punctuation("1,000") == "1000"
+    # decimal periods survive; trailing periods are stripped
+    assert process_punctuation("3.5") == "3.5"
+    assert process_punctuation("yes.") == "yes"
