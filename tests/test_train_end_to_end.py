@@ -122,6 +122,15 @@ def test_testdev_split_emits_results(trained, fix, capsys):
     assert len(results) == 160 and set(results[0]) == {"question_id", "answer"}
 
 
+def test_eval_buckets_knob(trained, fix, capsys):
+    """engine.eval_buckets reshapes the eval ladder (maxlength appended)."""
+    rc = main(_argv(fix, trained, [
+        "--resume", "best", "-e", "--opt", "engine.eval_buckets=[7,13]",
+    ]))
+    assert rc == 0
+    assert "val acc1" in capsys.readouterr().out
+
+
 def test_visu_cli_smoke(trained, tmp_path, capsys):
     """Attention visualization demo runs headless off a trained run dir
     (SURVEY.md C23; VERDICT r1 weak item 8)."""

@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--n_images", type=int, default=1024)
     p.add_argument("--n_questions", type=int, default=32_768)
     p.add_argument("--pallas", default="auto")
+    p.add_argument("--buckets", default=None,
+                   help="comma list of eval length buckets, e.g. 7,13 "
+                        "(maxlength is appended automatically)")
     args = p.parse_args()
 
     from vqa_tpu.utils import enable_compile_cache
@@ -112,10 +115,16 @@ def main() -> None:
     print(f"device table {table.shape} bf16 ({table.nbytes/1e9:.2f} GB)", file=sys.stderr)
 
     transform = engine_lib.make_device_transform(batch_sharding(mesh), dtype=jnp.bfloat16)
+    buckets = (
+        tuple(int(b) for b in args.buckets.split(","))
+        if args.buckets
+        else ((opt.vqa.maxlength + 1) // 2,)
+    )
+    if buckets[-1] < opt.vqa.maxlength:
+        buckets = buckets + (opt.vqa.maxlength,)
     loader = BatchIterator(
         val_set, args.batch, shuffle=False, pad_last=True, transform=transform,
-        sort_by_length=True,
-        length_buckets=((opt.vqa.maxlength + 1) // 2, opt.vqa.maxlength),
+        sort_by_length=True, length_buckets=buckets,
     )
     eval_step = make_eval_step()
     aid_to_ans = list(val_set.vocabs.aid_to_ans)

@@ -155,6 +155,11 @@ class EngineOptions:
     # N*batch_size, shuffle batch order; cuts LSTM steps to ~mean length.
     # 0 = off (the reference's exact uniform shuffle)
     train_bucketing: int = 0
+    # eval-time question-length buckets (right-pad only). None -> the
+    # default {maxlength/2, maxlength} ladder; real VQA questions average
+    # ~6 tokens, so e.g. [7, 13, 26] shortens the LSTM scan further at the
+    # cost of one extra compile per bucket
+    eval_buckets: Optional[List[int]] = None
 
 
 @dataclasses.dataclass

@@ -69,10 +69,20 @@ def mfb_pool(z: jax.Array, k: int) -> jax.Array:
 
 
 def _dispatch(z, k):
+    from vqa_tpu.ops import flags
+
     n = 1
     for s in z.shape[:-1]:
         n *= s
-    if pallas_enabled() and n % 128 == 0 and z.shape[-1] % k == 0:
+    # measured on v5e with low-noise timing (KERNELS_r02.json): XLA's fused
+    # chain is ahead at config-#4 shapes (1.66 vs 2.61 ms) — the r1 "+10%"
+    # was tunnel noise. 'auto' keeps XLA; 'on' forces the Mosaic program.
+    if (
+        flags._MODE == "on"
+        and pallas_enabled()
+        and n % 128 == 0
+        and z.shape[-1] % k == 0
+    ):
         return _pallas_fwd(z, k)
     return mfb_pool_reference(z, k)
 
