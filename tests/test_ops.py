@@ -84,6 +84,33 @@ def test_glimpse_head_grad_matches_reference():
         flags.set_pallas("auto")
 
 
+def test_gather_rows_matches_reference():
+    from vqa_tpu.ops.gather import _pallas_fwd as gather_pallas, gather_rows_reference
+
+    rng = np.random.default_rng(10)
+    table = jnp.asarray(rng.standard_normal((10, 4, 16)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 10, 24), jnp.int32)  # with repeats
+    out = gather_pallas(table, idx)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(gather_rows_reference(table, idx))
+    )
+
+
+def test_gather_rows_grad_flows_to_table():
+    from vqa_tpu.ops.gather import gather_rows, gather_rows_reference
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.standard_normal((6, 8)), jnp.float32)
+    idx = jnp.asarray([1, 1, 4], jnp.int32)
+    flags.set_pallas("off")
+    try:
+        g = jax.grad(lambda t: (gather_rows(t, idx) ** 2).sum())(table)
+        r = jax.grad(lambda t: (gather_rows_reference(t, idx) ** 2).sum())(table)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-6)
+    finally:
+        flags.set_pallas("auto")
+
+
 def test_relation_attend_matches_reference():
     from vqa_tpu.ops.relation import _pallas_fwd as rel_pallas, relation_attend_reference
 

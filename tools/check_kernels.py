@@ -113,6 +113,18 @@ def main():
     record("glimpse_head", passed, err, timeit(h_p, joint, w, bb_, v),
            timeit(h_r, joint, w, bb_, v), dict(B=B, R=R, M=M, G=G, D=D))
 
+    # feature-table row gather, bench shapes (the one kernel that BEATS XLA:
+    # jnp.take runs ~13x off HBM bandwidth here)
+    from vqa_tpu.ops.gather import _pallas_fwd as gather_pallas, gather_rows_reference
+
+    table = jnp.asarray(rng.standard_normal((1024, R, D)) * 0.5, jnp.bfloat16)
+    gidx = jnp.asarray(rng.integers(0, 1024, 2048), jnp.int32)
+    ga_p = jax.jit(lambda i: gather_pallas(table, i))
+    ga_r = jax.jit(lambda i: gather_rows_reference(table, i))
+    passed, err = check("gather_rows", ga_p(gidx), ga_r(gidx), atol=0.0)
+    record("gather_rows", passed, err, timeit(ga_p, gidx), timeit(ga_r, gidx),
+           dict(N=1024, B=2048, R=R, D=D))
+
     # CoR relation core, config-#5 shapes (N=36 objects, dim_h=1024)
     from vqa_tpu.ops.relation import _pallas_fwd as rel_pallas, relation_attend_reference
 

@@ -1,0 +1,94 @@
+"""Feature-table row gather (SURVEY.md C6 device path).
+
+gather_rows(table [N, R, D], idx [B]) -> out [B, R, D]
+
+The HBM-resident feature table is gathered by image index inside the jitted
+step (engine/steps._resolve_visual). XLA's jnp.take measures ~13x off HBM
+bandwidth at bench shapes (4.7ms for a 300MB gather, see perf ledger); this
+Mosaic program uses the scalar-prefetch gather pattern — the index vector is
+prefetched, each grid step's BlockSpec index_map selects table row idx[i],
+and Mosaic's pipeliner double-buffers the row DMAs — so the copy runs at
+DMA rate.
+
+Backward (rarely taken: the table is data, not params) is the vjp of the
+jnp reference (scatter-add).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqa_tpu.ops.flags import pallas_enabled
+
+
+def gather_rows_reference(table: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take(table, idx, axis=0)
+
+
+def _kernel(idx_ref, row_ref, out_ref):
+    del idx_ref  # consumed by the index_map
+    out_ref[:] = row_ref[:]
+
+
+def _pallas_fwd(table: jax.Array, idx: jax.Array) -> jax.Array:
+    B = idx.shape[0]
+    tail = table.shape[1:]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + tail,
+                lambda i, idx_ref: (idx_ref[i],) + (0,) * len(tail),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1,) + tail, lambda i, idx_ref: (i,) + (0,) * len(tail),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B,) + tail, table.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * B * math.prod(tail) * table.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(idx, table)
+
+
+def _dispatch(table, idx):
+    # NOTE a manual rolling-window make_async_copy variant (HBM->HBM row
+    # DMAs) was attempted and crashes this image's remote Mosaic compile
+    # helper in EVERY form, including a single static copy (see perf ledger
+    # gotchas); the scalar-prefetch BlockSpec gather below compiles and
+    # beats jnp.take by 24-38% at bench shapes (KERNELS_r02.json).
+    if pallas_enabled() and table.ndim >= 2 and idx.ndim == 1:
+        return _pallas_fwd(table, idx)
+    return gather_rows_reference(table, idx)
+
+
+@jax.custom_vjp
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    return _dispatch(table, idx)
+
+
+def _fwd(table, idx):
+    return _dispatch(table, idx), (table, idx)
+
+
+def _bwd(residuals, g):
+    table, idx = residuals
+    _, vjp = jax.vjp(lambda t: gather_rows_reference(t, idx), table)
+    return vjp(g) + (None,)
+
+
+gather_rows.defvjp(_fwd, _bwd)
