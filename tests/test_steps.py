@@ -67,6 +67,32 @@ def test_train_step_device_feature_gather_matches_direct():
     )
 
 
+def test_int8_feature_table_close_to_direct():
+    """engine.features_dtype=int8: per-row quantized table + in-step dequant
+    tracks the float path within quantization tolerance."""
+    from vqa_tpu.engine.steps import quantize_features
+
+    state, batch = _setup()
+    train_step = make_train_step(criterion_factory(), donate=False)
+    rng = jax.random.key(0)
+    _, m_direct = train_step(state, batch, rng)
+
+    values, scales = quantize_features(np.asarray(batch["visual"]))
+    # round trip error bounded by scale/2 per element
+    deq = values.astype(np.float32) * scales
+    err = np.abs(deq - np.asarray(batch["visual"]))
+    assert (err <= scales / 2 + 1e-6).all()
+
+    indexed = dict(batch)
+    del indexed["visual"]
+    indexed["image_index"] = jnp.arange(B, dtype=jnp.int32)
+    features = (jnp.asarray(values), jnp.asarray(scales))
+    _, m_q = train_step(state, indexed, rng, features)
+    np.testing.assert_allclose(
+        float(m_direct["loss"]), float(m_q["loss"]), rtol=0.05, atol=0.02
+    )
+
+
 def test_eval_step_masks_invalid_and_negative_labels():
     state, batch = _setup()
     eval_step = make_eval_step()

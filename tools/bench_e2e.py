@@ -47,6 +47,8 @@ def main() -> None:
     p.add_argument("--buckets", default=None,
                    help="comma list of eval length buckets, e.g. 7,13 "
                         "(maxlength is appended automatically)")
+    p.add_argument("--features_dtype", default="bfloat16",
+                   choices=["bfloat16", "int8"])
     args = p.parse_args()
 
     from vqa_tpu.utils import enable_compile_cache
@@ -110,9 +112,21 @@ def main() -> None:
         create_state(model, params, optim_factory(opt.optim, 1)), replicated(mesh)
     )
 
-    table = val_set.features.as_array().astype(jnp.bfloat16)
-    features = jax.device_put(table, replicated(mesh))
-    print(f"device table {table.shape} bf16 ({table.nbytes/1e9:.2f} GB)", file=sys.stderr)
+    table = val_set.features.as_array()
+    if args.features_dtype == "int8":
+        from vqa_tpu.engine.steps import quantize_features
+
+        values, scales = quantize_features(table)
+        features = (
+            jax.device_put(jnp.asarray(values), replicated(mesh)),
+            jax.device_put(jnp.asarray(scales, jnp.bfloat16), replicated(mesh)),
+        )
+        print(f"device table {values.shape} int8+scales "
+              f"({(values.nbytes + scales.nbytes)/1e9:.2f} GB)", file=sys.stderr)
+    else:
+        table = table.astype(jnp.bfloat16)
+        features = jax.device_put(table, replicated(mesh))
+        print(f"device table {table.shape} bf16 ({table.nbytes/1e9:.2f} GB)", file=sys.stderr)
 
     transform = engine_lib.make_device_transform(batch_sharding(mesh), dtype=jnp.bfloat16)
     buckets = (

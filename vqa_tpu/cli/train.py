@@ -197,14 +197,31 @@ def main(argv: Optional[List[str]] = None) -> int:
         # HBM-resident feature table, replicated over the mesh; batches carry
         # image indices only (BASELINE north star "HBM-resident region tensors")
         table = val_set.features.as_array()
-        if opt.engine.features_dtype == "bfloat16":
-            table = table.astype(jnp.bfloat16)
-        features = shard_state(table, mesh)
-        print(
-            f"device feature table: {table.shape} {table.dtype} "
-            f"({table.nbytes/1e9:.2f} GB)",
-            flush=True,
-        )
+        if opt.engine.features_dtype == "int8":
+            # per-row symmetric quantization: halves HBM footprint + gather
+            # bandwidth (a full trainval bottom-up table only fits quantized)
+            from vqa_tpu.engine.steps import quantize_features
+
+            values, scales = quantize_features(table)
+            scale_dtype = jnp.bfloat16 if input_dtype is not None else jnp.float32
+            features = (
+                shard_state(jnp.asarray(values), mesh),
+                shard_state(jnp.asarray(scales, scale_dtype), mesh),
+            )
+            print(
+                f"device feature table: {values.shape} int8+scales "
+                f"({(values.nbytes + scales.nbytes)/1e9:.2f} GB)",
+                flush=True,
+            )
+        else:
+            if opt.engine.features_dtype == "bfloat16":
+                table = table.astype(jnp.bfloat16)
+            features = shard_state(table, mesh)
+            print(
+                f"device feature table: {table.shape} {table.dtype} "
+                f"({table.nbytes/1e9:.2f} GB)",
+                flush=True,
+            )
 
     if opt.engine.profile_dir:
         jax.profiler.start_trace(opt.engine.profile_dir)

@@ -33,19 +33,39 @@ def _topk_acc(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
     return (topk == labels[:, None]).any(axis=-1)
 
 
+def quantize_features(table, dtype=jnp.int8):
+    """Per-row symmetric int8 quantization of a feature table [N, ..., D]:
+    returns (values int8, scales [N, ..., 1]). Halves the HBM footprint vs
+    bf16 (a full VQA-v2 trainval bottom-up table is ~18GB bf16 — over v5e
+    HBM — and ~9GB int8) and halves gather bandwidth."""
+    import numpy as np
+
+    absmax = np.abs(table).max(axis=-1, keepdims=True)
+    scales = (absmax / 127.0 + 1e-12).astype(np.float32)
+    values = np.clip(np.round(table / scales), -127, 127).astype(np.int8)
+    return values, scales
+
+
 def _resolve_visual(batch: Dict[str, jax.Array], features) -> jax.Array:
     """HBM-resident feature path (BASELINE north star): when the batch
     carries ``image_index`` instead of ``visual``, gather the region tensors
     from the device-resident table inside the jitted step — the host ships
     only token ids + indices (bytes, not the 36x2048 features). The gather
     rides the scalar-prefetch Mosaic kernel (ops/gather.py), +24-38% over
-    jnp.take at bench shapes."""
+    jnp.take at bench shapes. ``features`` may be an int8-quantized
+    ``(values, scales)`` pair (engine.features_dtype=int8); dequantization
+    happens after the gather, so only int8 bytes cross HBM."""
     if "visual" in batch:
         return batch["visual"]
     if features is None:
         raise ValueError("batch has image_index but no feature table was passed")
     from vqa_tpu.ops.gather import gather_rows
 
+    if isinstance(features, (tuple, list)):
+        values, scales = features
+        v = gather_rows(values, batch["image_index"])
+        s = jnp.take(scales, batch["image_index"], axis=0)  # tiny
+        return v.astype(s.dtype) * s
     return gather_rows(features, batch["image_index"])
 
 
