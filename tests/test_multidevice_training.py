@@ -77,6 +77,34 @@ def test_dp8_k_steps_matches_single_device():
         np.testing.assert_allclose(x, y, rtol=2e-4, atol=1e-5)
 
 
+def test_sharded_feature_table_matches_replicated():
+    """engine.features_sharded: the table row-sharded over all 8 devices
+    (uneven rows padded) gives the same numbers as the replicated table —
+    XLA partitions the in-step gather with collectives."""
+    from vqa_tpu.engine.steps import make_eval_step
+    from vqa_tpu.parallel.mesh import shard_feature_table
+
+    state, batches = _setup()
+    mesh = make_mesh(jax.devices()[:8])
+    state = jax.device_put(state, replicated(mesh))
+    rng = np.random.default_rng(5)
+    n_images = 11  # deliberately not divisible by 8 -> padded rows
+    table = rng.standard_normal((n_images, R, DV)).astype(np.float32)
+    idx = rng.integers(0, n_images, B).astype(np.int32)
+
+    batch = dict(batches[0])
+    del batch["visual"]
+    batch["image_index"] = jnp.asarray(idx)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+
+    rep = make_eval_step()(state, batch, jax.device_put(jnp.asarray(table), replicated(mesh)))
+    shd = make_eval_step(sharded_features=True)(
+        state, batch, shard_feature_table(table, mesh)
+    )
+    np.testing.assert_array_equal(np.asarray(rep["pred"]), np.asarray(shd["pred"]))
+    assert int(rep["correct1"]) == int(shd["correct1"])
+
+
 def test_checkpoint_roundtrip_across_layouts(tmp_path):
     """Train 2 steps under 8-way DP, checkpoint, restore, continue 2 steps
     under a 4x2 TP layout — final params match the uninterrupted DP run."""

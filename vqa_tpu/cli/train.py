@@ -188,14 +188,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         val_set, eval_bs, shuffle=False, pad_last=True, transform=transform, **bucketing
     )
     criterion = optim_lib.criterion_factory()
-    train_step = make_train_step(criterion, donate=opt.engine.donate)
-    eval_step = make_eval_step()
+    train_step = make_train_step(
+        criterion, donate=opt.engine.donate,
+        sharded_features=opt.engine.features_sharded,
+    )
+    eval_step = make_eval_step(sharded_features=opt.engine.features_sharded)
     rng = jax.random.key(opt.engine.seed)
 
     features = None
     if opt.engine.device_features:
-        # HBM-resident feature table, replicated over the mesh; batches carry
-        # image indices only (BASELINE north star "HBM-resident region tensors")
+        # HBM-resident feature table, replicated over the mesh (or row-sharded
+        # across chips with engine.features_sharded); batches carry image
+        # indices only (BASELINE north star "HBM-resident region tensors")
+        from vqa_tpu.parallel.mesh import shard_feature_table
+
+        place_table = (
+            (lambda t: shard_feature_table(t, mesh))
+            if opt.engine.features_sharded
+            else (lambda t: shard_state(t, mesh))
+        )
         table = val_set.features.as_array()
         if opt.engine.features_dtype == "int8":
             # per-row symmetric quantization: halves HBM footprint + gather
@@ -205,8 +216,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             values, scales = quantize_features(table)
             scale_dtype = jnp.bfloat16 if input_dtype is not None else jnp.float32
             features = (
-                shard_state(jnp.asarray(values), mesh),
-                shard_state(jnp.asarray(scales, scale_dtype), mesh),
+                place_table(values),
+                place_table(np.asarray(scales, scale_dtype)),
             )
             print(
                 f"device feature table: {values.shape} int8+scales "
@@ -216,7 +227,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             if opt.engine.features_dtype == "bfloat16":
                 table = table.astype(jnp.bfloat16)
-            features = shard_state(table, mesh)
+            features = place_table(table)
             print(
                 f"device feature table: {table.shape} {table.dtype} "
                 f"({table.nbytes/1e9:.2f} GB)",

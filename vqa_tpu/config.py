@@ -150,6 +150,10 @@ class EngineOptions:
     pallas: str = "auto"               # 'auto' | 'on' | 'off' — fused-kernel layer
     device_features: bool = False      # HBM-resident feature table + on-device gather
     features_dtype: str = "float32"    # dtype for the device feature table
+    # row-shard the device feature table over all mesh devices instead of
+    # replicating (for tables bigger than one chip's HBM, e.g. trainval
+    # bottom-up); the in-step gather becomes an XLA-partitioned collective
+    features_sharded: bool = False
     model_parallel: int = 1            # mesh 'model'-axis size (TP seam, section 2.3)
     # train-time bucketed shuffling: sort by length inside windows of
     # N*batch_size, shuffle batch order; cuts LSTM steps to ~mean length.

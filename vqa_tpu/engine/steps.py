@@ -46,7 +46,7 @@ def quantize_features(table, dtype=jnp.int8):
     return values, scales
 
 
-def _resolve_visual(batch: Dict[str, jax.Array], features) -> jax.Array:
+def _resolve_visual(batch: Dict[str, jax.Array], features, allow_kernel: bool = True) -> jax.Array:
     """HBM-resident feature path (BASELINE north star): when the batch
     carries ``image_index`` instead of ``visual``, gather the region tensors
     from the device-resident table inside the jitted step — the host ships
@@ -61,16 +61,24 @@ def _resolve_visual(batch: Dict[str, jax.Array], features) -> jax.Array:
         raise ValueError("batch has image_index but no feature table was passed")
     from vqa_tpu.ops.gather import gather_rows
 
+    take = gather_rows if allow_kernel else (
+        lambda t, i: jnp.take(t, i, axis=0)
+    )
     if isinstance(features, (tuple, list)):
         values, scales = features
-        v = gather_rows(values, batch["image_index"])
+        v = take(values, batch["image_index"])
         s = jnp.take(scales, batch["image_index"], axis=0)  # tiny
         return v.astype(s.dtype) * s
-    return gather_rows(features, batch["image_index"])
+    return take(features, batch["image_index"])
 
 
-def make_train_step(criterion: Callable, donate: bool = True):
-    """Returns jitted (state, batch, rng, features=None) -> (state, metrics)."""
+def make_train_step(criterion: Callable, donate: bool = True, sharded_features: bool = False):
+    """Returns jitted (state, batch, rng, features=None) -> (state, metrics).
+
+    ``sharded_features``: the feature table is row-sharded over the mesh
+    (engine.features_sharded — tables bigger than one chip's HBM). The
+    Mosaic gather kernel has no SPMD partitioning rule, so this path keeps
+    jnp.take and lets XLA partition the gather (local gather + collective)."""
 
     def train_step(
         state: TrainState,
@@ -79,7 +87,7 @@ def make_train_step(criterion: Callable, donate: bool = True):
         features=None,
     ):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        visual = _resolve_visual(batch, features)
+        visual = _resolve_visual(batch, features, allow_kernel=not sharded_features)
 
         def loss_fn(params):
             logits = state.apply_fn(
@@ -107,17 +115,18 @@ def make_train_step(criterion: Callable, donate: bool = True):
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def make_eval_step():
+def make_eval_step(sharded_features: bool = False):
     """Returns jitted (state, batch) -> per-batch eval outputs.
 
     Output dict: pred [B] aid, plus masked-sum metrics (correct1/correct5/n)
-    so partial batches aggregate exactly.
+    so partial batches aggregate exactly. ``sharded_features`` as in
+    :func:`make_train_step`.
     """
 
     def eval_step(state: TrainState, batch: Dict[str, jax.Array], features=None):
         logits = state.apply_fn(
             {"params": state.params},
-            _resolve_visual(batch, features),
+            _resolve_visual(batch, features, allow_kernel=not sharded_features),
             batch["question"],
             batch["length"],
             train=False,

@@ -50,6 +50,24 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
 
 
+def shard_feature_table(table, mesh: Mesh):
+    """Row-shard a feature table over every mesh device (flattened 'data' x
+    'model' axes) for tables bigger than one chip's HBM
+    (engine.features_sharded). Rows are padded to the device count; the pad
+    rows are never indexed. The gather inside the jitted step is partitioned
+    by XLA (local gather + collective) — see steps.make_*_step."""
+    import numpy as np
+
+    table = np.asarray(table)  # ml_dtypes covers bf16 as a numpy dtype
+    n_dev = mesh.size
+    pad = (-table.shape[0]) % n_dev
+    if pad:
+        table = np.concatenate(
+            [table, np.zeros((pad,) + table.shape[1:], table.dtype)], axis=0
+        )
+    return jax.device_put(table, NamedSharding(mesh, P(("data", "model"))))
+
+
 def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
     n = mesh.shape["data"]
     if batch_size % n:
