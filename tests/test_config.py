@@ -92,6 +92,22 @@ def test_scientific_notation_lr_stays_float():
     assert isinstance(opt.optim.lr, float) and opt.optim.lr == 5e-5
 
 
+def test_yaml_word_booleans_stay_strings_for_str_fields():
+    """code-review r2: YAML 1.1 parses on/off/yes/no as booleans — the
+    documented `--opt engine.pallas=on` must arrive as the string 'on'."""
+    base = os.path.join(OPTIONS_DIR, "mutan_att.yaml")
+    opt = load_options(base, overrides=["engine.pallas=on"])
+    assert opt.engine.pallas == "on"
+    opt = load_options(base, overrides=["engine.pallas=off"])
+    assert opt.engine.pallas == "off"
+    # literal true/false spellings still become booleans for bool fields
+    opt = load_options(base, overrides=["vqa.samplingans=false"])
+    assert opt.vqa.samplingans is False
+    # a genuine bool into a str field errors clearly instead of 'True'
+    with pytest.raises(TypeError, match="pallas"):
+        load_options(base, overrides=[("engine.pallas", True)])
+
+
 def test_field_type_coercion_and_errors():
     base = os.path.join(OPTIONS_DIR, "mutan_att.yaml")
     # int -> float promotion for float fields

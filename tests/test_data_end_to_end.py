@@ -118,6 +118,42 @@ def test_bucketed_shuffle_covers_and_shortens(opt):
     assert not np.array_equal(qids, other)
 
 
+def test_bucketed_shuffle_drop_last_is_uniform(opt):
+    """code-review r2: with drop_last the dropped tail must be a uniform
+    random subset (pre-sort), never systematically the longest questions."""
+    train = factory("train", opt)
+    n, bs = len(train), 8
+    if n % bs == 0:
+        bs = 7  # force a partial batch
+    kw = dict(batch_size=bs, shuffle=True, seed=11, drop_last=True,
+              bucket_window=2, length_buckets=(13, 26))
+    dropped_lengths = []
+    for epoch in range(6):
+        seen = set()
+        for b in BatchIterator(train, **kw).epoch(epoch):
+            seen.update(b["question_id"].tolist())
+        dropped = [i for i in range(n) if int(train.split.question_ids[i]) not in seen]
+        dropped_lengths.extend(int(train.split.lengths[i]) for i in dropped)
+    # if the longest-of-window were always dropped, the dropped mean would
+    # sit near the max; uniform dropping keeps it near the dataset mean
+    mean_all = float(np.mean(train.split.lengths))
+    assert abs(float(np.mean(dropped_lengths)) - mean_all) < 2.0, (
+        np.mean(dropped_lengths), mean_all)
+
+
+def test_normalize_buckets_validation():
+    from vqa_tpu.datasets.pipeline import normalize_buckets
+
+    assert normalize_buckets((7, 13), 26) == (7, 13, 26)
+    assert normalize_buckets((7, 30), 26) == (7, 26)   # oversized dropped
+    assert normalize_buckets((26,), 26) == (26,)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_buckets((13, 7), 26)
+    with _pytest.raises(ValueError):
+        normalize_buckets((0, 7), 26)
+
+
 def test_batch_iterator_transform_and_threading(opt):
     val = factory("val", opt)
     it = BatchIterator(

@@ -129,13 +129,14 @@ def main() -> None:
         print(f"device table {table.shape} bf16 ({table.nbytes/1e9:.2f} GB)", file=sys.stderr)
 
     transform = engine_lib.make_device_transform(batch_sharding(mesh), dtype=jnp.bfloat16)
-    buckets = (
+    from vqa_tpu.datasets.pipeline import normalize_buckets
+
+    buckets = normalize_buckets(
         tuple(int(b) for b in args.buckets.split(","))
         if args.buckets
-        else ((opt.vqa.maxlength + 1) // 2,)
+        else ((opt.vqa.maxlength + 1) // 2,),
+        opt.vqa.maxlength,
     )
-    if buckets[-1] < opt.vqa.maxlength:
-        buckets = buckets + (opt.vqa.maxlength,)
     loader = BatchIterator(
         val_set, args.batch, shuffle=False, pad_last=True, transform=transform,
         sort_by_length=True, length_buckets=buckets,

@@ -174,11 +174,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     check_batch_divisible(eval_bs, mesh)
     # eval-time length bucketing (right-pad only): sorted order + truncated
     # question axis cut LSTM steps to ~mean length (see pipeline.BatchIterator)
-    eval_buckets = tuple(
-        opt.engine.eval_buckets or ((opt.vqa.maxlength + 1) // 2, opt.vqa.maxlength)
+    from vqa_tpu.datasets.pipeline import normalize_buckets
+
+    eval_buckets = normalize_buckets(
+        opt.engine.eval_buckets or ((opt.vqa.maxlength + 1) // 2,),
+        opt.vqa.maxlength,
     )
-    if eval_buckets and eval_buckets[-1] < opt.vqa.maxlength:
-        eval_buckets = eval_buckets + (opt.vqa.maxlength,)
     bucketing = (
         dict(sort_by_length=True, length_buckets=eval_buckets)
         if opt.vqa.pad == "right"

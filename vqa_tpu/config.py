@@ -67,11 +67,19 @@ def get_dotted(tree: Dict[str, Any], dotted_key: str, default: Any = None) -> An
 
 
 def parse_override(spec: str) -> tuple:
-    """Parse ``key.sub=value`` where value is interpreted as YAML."""
+    """Parse ``key.sub=value`` where value is interpreted as YAML.
+
+    YAML 1.1 wordifies on/off/yes/no into booleans, which would launder
+    documented string values like ``--opt engine.pallas=on`` into True;
+    only literal true/false spellings stay boolean."""
     if "=" not in spec:
         raise ValueError(f"override {spec!r} must look like key.sub=value")
     key, _, raw = spec.partition("=")
-    return key.strip(), yaml.safe_load(raw)
+    raw = raw.strip()
+    value = yaml.safe_load(raw) if raw else None
+    if isinstance(value, bool) and raw.lower() not in ("true", "false"):
+        value = raw
+    return key.strip(), value
 
 
 # --------------------------------------------------------------------------
@@ -236,7 +244,12 @@ def _coerce(section: str, name: str, ftype, value):
     elif ftype is str:
         if isinstance(value, str):
             return value
-        if isinstance(value, (int, float, bool)):
+        if isinstance(value, bool):
+            raise TypeError(
+                f"{where} expects a string, got bool {value!r} (YAML parses "
+                "on/off/yes/no as booleans; quote the value)"
+            )
+        if isinstance(value, (int, float)):
             return str(value)
     else:
         return value

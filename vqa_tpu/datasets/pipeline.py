@@ -21,6 +21,19 @@ import numpy as np
 from vqa_tpu.datasets.vqa2 import VQA2Dataset
 
 
+def normalize_buckets(buckets, maxlength: int) -> tuple:
+    """Validate a question-length bucket ladder: strictly increasing
+    positive ints; entries >= maxlength are redundant and dropped; maxlength
+    is appended so every batch has a covering bucket."""
+    out = tuple(int(b) for b in buckets)
+    if any(b <= 0 for b in out):
+        raise ValueError(f"length buckets must be positive, got {out}")
+    if list(out) != sorted(set(out)):
+        raise ValueError(f"length buckets must be strictly increasing, got {out}")
+    out = tuple(b for b in out if b < maxlength)
+    return out + (maxlength,)
+
+
 def epoch_order(n: int, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
     if not shuffle:
         return np.arange(n, dtype=np.int64)
@@ -124,6 +137,13 @@ class BatchIterator:
         starts = np.arange(0, n, bs)
         if self.bucket_window:
             # bucketed shuffle: length-sort inside windows, shuffle batch order
+            if self.drop_last and n % bs:
+                # drop a UNIFORM-random tail (order is shuffled) BEFORE the
+                # window sort — sorting first would drop the final window's
+                # longest questions every epoch (persistent training bias)
+                n -= n % bs
+                order = order[:n]
+                starts = np.arange(0, n, bs)
             w = self.bucket_window * bs
             lengths = self.dataset.split.lengths
             order = np.concatenate([

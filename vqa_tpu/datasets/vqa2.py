@@ -98,19 +98,17 @@ class GrainVQA2Source:
     item draws from an rng keyed by (label_seed, epoch, idx), so workers
     agree regardless of sharding/process count. Grain sources don't see the
     epoch number themselves, so per-epoch label resampling (the reference's
-    exact semantics) works by calling ``set_epoch(e)`` before each epoch —
-    or by building one ``grain_loader(..., epoch=e, num_epochs=1)`` per
-    epoch. Leaving the epoch at 0 reproduces the round-1 fixed-draw default.
+    exact semantics) works by building one
+    ``grain_loader(..., epoch=e, num_epochs=1)`` per epoch — that re-keys
+    BOTH the shuffle order and the label draws. (Mutating a source after a
+    worker-backed loader is built would not reach the pickled worker copies,
+    so there is deliberately no set_epoch.) epoch=0 reproduces the round-1
+    fixed-draw default.
     """
 
     def __init__(self, dataset: VQA2Dataset, label_seed: int = 0, epoch: int = 0):
         self._ds = dataset
         self._label_seed = label_seed
-        self._epoch = epoch
-
-    def set_epoch(self, epoch: int) -> None:
-        """Re-key the label-sampling rng for a new epoch (reference-semantics
-        per-epoch answer resampling). Call between epochs, not mid-epoch."""
         self._epoch = int(epoch)
 
     def __len__(self) -> int:
@@ -149,12 +147,17 @@ def grain_loader(
     """
     import grain.python as grain
 
+    # key the sampler by (seed, epoch) without collisions: seed+epoch would
+    # alias (3, 1) with (4, 0) — same trap pipeline.epoch_order avoids
+    sampler_seed = int(
+        np.random.SeedSequence([seed, epoch]).generate_state(1)[0] & 0x7FFFFFFF
+    )
     sampler = grain.IndexSampler(
         num_records=len(dataset),
         shard_options=grain.NoSharding(),
         shuffle=shuffle,
         num_epochs=num_epochs,
-        seed=seed + epoch,
+        seed=sampler_seed,
     )
     return grain.DataLoader(
         data_source=GrainVQA2Source(dataset, label_seed=seed, epoch=epoch),

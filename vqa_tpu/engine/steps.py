@@ -33,7 +33,7 @@ def _topk_acc(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
     return (topk == labels[:, None]).any(axis=-1)
 
 
-def quantize_features(table, dtype=jnp.int8):
+def quantize_features(table):
     """Per-row symmetric int8 quantization of a feature table [N, ..., D]:
     returns (values int8, scales [N, ..., 1]). Halves the HBM footprint vs
     bf16 (a full VQA-v2 trainval bottom-up table is ~18GB bf16 — over v5e

@@ -64,24 +64,13 @@ def _pallas_fwd(logits: jax.Array, v: jax.Array, block_b: int = 8) -> jax.Array:
 
 
 @jax.custom_vjp
-def glimpse_attend(logits: jax.Array, v: jax.Array) -> jax.Array:
-    return _dispatch(logits, v)
-
-
-def _dispatch(logits, v):
-    from vqa_tpu.ops import flags
-
-    # measured on v5e (tools/check_kernels.py + bench A/B): XLA's fused
-    # softmax+einsum edges out this kernel at VQA shapes (R=36 is far off the
-    # 128-lane tile), so 'auto' prefers XLA here; 'on' forces the kernel.
-    B = logits.shape[0]
-    if flags._MODE == "on" and pallas_enabled() and B % 8 == 0:
-        return _pallas_fwd(logits, v)
-    return glimpse_attend_reference(logits, v)
+def _glimpse_attend_pallas(logits: jax.Array, v: jax.Array) -> jax.Array:
+    """Pallas forward; backward = vjp of the reference with recompute."""
+    return _pallas_fwd(logits, v)
 
 
 def _fwd(logits, v):
-    return _dispatch(logits, v), (logits, v)
+    return _pallas_fwd(logits, v), (logits, v)
 
 
 def _bwd(residuals, g):
@@ -90,7 +79,21 @@ def _bwd(residuals, g):
     return vjp(g)
 
 
-glimpse_attend.defvjp(_fwd, _bwd)
+_glimpse_attend_pallas.defvjp(_fwd, _bwd)
+
+
+def glimpse_attend(logits: jax.Array, v: jax.Array) -> jax.Array:
+    """Measured on v5e (tools/check_kernels.py + bench A/B): XLA's fused
+    softmax+einsum edges out this kernel at VQA shapes (R=36 is far off the
+    128-lane tile), so 'auto' prefers XLA here; 'on' forces the kernel.
+    Only the Pallas path carries the recompute custom_vjp — the XLA path
+    keeps native AD (remat trap, see ops/lstm.py)."""
+    from vqa_tpu.ops import flags
+
+    B = logits.shape[0]
+    if flags._MODE == "on" and pallas_enabled() and B % 8 == 0:
+        return _glimpse_attend_pallas(logits, v)
+    return glimpse_attend_reference(logits, v)
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +159,31 @@ def _head_pallas(joint, w, b, v, block_b: int = 8):
     )(joint, w, b2, v)
 
 
-def _head_dispatch(joint, w, b, v):
+@jax.custom_vjp
+def _glimpse_head_pallas(joint, w, b, v):
+    """Pallas forward; backward = vjp of the reference with recompute."""
+    return _head_pallas(joint, w, b, v)
+
+
+def _head_fwd(joint, w, b, v):
+    return _head_pallas(joint, w, b, v), (joint, w, b, v)
+
+
+def _head_bwd(residuals, g):
+    joint, w, b, v = residuals
+    _, vjp = jax.vjp(glimpse_head_reference, joint, w, b, v)
+    return vjp(g)
+
+
+_glimpse_head_pallas.defvjp(_head_fwd, _head_bwd)
+
+
+def glimpse_head(joint: jax.Array, w: jax.Array, b: jax.Array, v: jax.Array):
+    """Fused glimpse tail. Dispatch mirrors glimpse_attend: measured on v5e
+    the XLA chain stays ahead at R=36 (see KERNELS_r02 + perf ledger), so
+    'auto' uses XLA and 'on' forces the Mosaic program. Only the Pallas path
+    carries the recompute custom_vjp — the XLA path keeps native AD so its
+    backward reuses stored residuals (same remat trap as ops/lstm.py)."""
     from vqa_tpu.ops import flags
 
     B, R, M = joint.shape
@@ -168,26 +195,5 @@ def _head_dispatch(joint, w, b, v):
         and B % 8 == 0
         and (R * M + R * v.shape[-1]) * 8 * joint.dtype.itemsize < 6 * 1024 * 1024
     ):
-        return _head_pallas(joint, w, b, v)
+        return _glimpse_head_pallas(joint, w, b, v)
     return glimpse_head_reference(joint, w, b, v)
-
-
-@jax.custom_vjp
-def glimpse_head(joint: jax.Array, w: jax.Array, b: jax.Array, v: jax.Array):
-    """Fused glimpse tail. Dispatch mirrors glimpse_attend: measured on v5e
-    the XLA chain stays ahead at R=36 (see KERNELS_r02 + perf ledger), so
-    'auto' uses XLA and 'on' forces the Mosaic program."""
-    return _head_dispatch(joint, w, b, v)
-
-
-def _head_fwd(joint, w, b, v):
-    return _head_dispatch(joint, w, b, v), (joint, w, b, v)
-
-
-def _head_bwd(residuals, g):
-    joint, w, b, v = residuals
-    _, vjp = jax.vjp(glimpse_head_reference, joint, w, b, v)
-    return vjp(g)
-
-
-glimpse_head.defvjp(_head_fwd, _head_bwd)

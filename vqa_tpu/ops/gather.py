@@ -65,24 +65,14 @@ def _pallas_fwd(table: jax.Array, idx: jax.Array) -> jax.Array:
     )(idx, table)
 
 
-def _dispatch(table, idx):
-    # NOTE a manual rolling-window make_async_copy variant (HBM->HBM row
-    # DMAs) was attempted and crashes this image's remote Mosaic compile
-    # helper in EVERY form, including a single static copy (see perf ledger
-    # gotchas); the scalar-prefetch BlockSpec gather below compiles and
-    # beats jnp.take by 24-38% at bench shapes (KERNELS_r02.json).
-    if pallas_enabled() and table.ndim >= 2 and idx.ndim == 1:
-        return _pallas_fwd(table, idx)
-    return gather_rows_reference(table, idx)
-
-
 @jax.custom_vjp
-def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
-    return _dispatch(table, idx)
+def _gather_rows_pallas(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Pallas forward; backward = vjp of the reference (scatter-add)."""
+    return _pallas_fwd(table, idx)
 
 
 def _fwd(table, idx):
-    return _dispatch(table, idx), (table, idx)
+    return _pallas_fwd(table, idx), (table, idx)
 
 
 def _bwd(residuals, g):
@@ -91,4 +81,17 @@ def _bwd(residuals, g):
     return vjp(g) + (None,)
 
 
-gather_rows.defvjp(_fwd, _bwd)
+_gather_rows_pallas.defvjp(_fwd, _bwd)
+
+
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    # NOTE a manual rolling-window make_async_copy variant (HBM->HBM row
+    # DMAs) was attempted and crashes this image's remote Mosaic compile
+    # helper in EVERY form, including a single static copy (see perf ledger
+    # gotchas); the scalar-prefetch BlockSpec gather here compiles and
+    # beats jnp.take by 24-38% at bench shapes (KERNELS_r02.json). The
+    # custom_vjp wraps only the Pallas path; the reference path keeps
+    # native AD.
+    if pallas_enabled() and table.ndim >= 2 and idx.ndim == 1:
+        return _gather_rows_pallas(table, idx)
+    return gather_rows_reference(table, idx)

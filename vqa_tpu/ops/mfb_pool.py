@@ -64,31 +64,13 @@ def _pallas_fwd(z: jax.Array, k: int, block_n: int = 128) -> jax.Array:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def mfb_pool(z: jax.Array, k: int) -> jax.Array:
-    return _dispatch(z, k)
-
-
-def _dispatch(z, k):
-    from vqa_tpu.ops import flags
-
-    n = 1
-    for s in z.shape[:-1]:
-        n *= s
-    # measured on v5e with low-noise timing (KERNELS_r02.json): XLA's fused
-    # chain is ahead at config-#4 shapes (1.66 vs 2.61 ms) — the r1 "+10%"
-    # was tunnel noise. 'auto' keeps XLA; 'on' forces the Mosaic program.
-    if (
-        flags._MODE == "on"
-        and pallas_enabled()
-        and n % 128 == 0
-        and z.shape[-1] % k == 0
-    ):
-        return _pallas_fwd(z, k)
-    return mfb_pool_reference(z, k)
+def _mfb_pool_pallas(z: jax.Array, k: int) -> jax.Array:
+    """Pallas forward; backward = vjp of the reference with recompute."""
+    return _pallas_fwd(z, k)
 
 
 def _fwd(z, k):
-    return _dispatch(z, k), z
+    return _pallas_fwd(z, k), z
 
 
 def _bwd(k, z, g):
@@ -96,4 +78,25 @@ def _bwd(k, z, g):
     return vjp(g)
 
 
-mfb_pool.defvjp(_fwd, _bwd)
+_mfb_pool_pallas.defvjp(_fwd, _bwd)
+
+
+def mfb_pool(z: jax.Array, k: int) -> jax.Array:
+    """Measured on v5e with low-noise timing (KERNELS_r02.json): XLA's fused
+    chain is ahead at config-#4 shapes (1.66 vs 2.61 ms) — the r1 "+10%"
+    was tunnel noise. 'auto' keeps XLA; 'on' forces the Mosaic program.
+    Only the Pallas path carries the recompute custom_vjp — the XLA path
+    keeps native AD (remat trap, see ops/lstm.py)."""
+    from vqa_tpu.ops import flags
+
+    n = 1
+    for s in z.shape[:-1]:
+        n *= s
+    if (
+        flags._MODE == "on"
+        and pallas_enabled()
+        and n % 128 == 0
+        and z.shape[-1] % k == 0
+    ):
+        return _mfb_pool_pallas(z, k)
+    return mfb_pool_reference(z, k)

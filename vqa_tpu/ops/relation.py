@@ -73,7 +73,30 @@ def _pallas_fwd(pg: jax.Array, r: jax.Array, block_b: int = 8) -> jax.Array:
     )(pg, r)
 
 
-def _dispatch(pg, r):
+@jax.custom_vjp
+def _relation_attend_pallas(pg: jax.Array, r: jax.Array) -> jax.Array:
+    """Pallas forward; backward = vjp of the reference with recompute."""
+    return _pallas_fwd(pg, r)
+
+
+def _fwd(pg, r):
+    return _pallas_fwd(pg, r), (pg, r)
+
+
+def _bwd(residuals, g):
+    pg, r = residuals
+    _, vjp = jax.vjp(relation_attend_reference, pg, r)
+    return vjp(g)
+
+
+_relation_attend_pallas.defvjp(_fwd, _bwd)
+
+
+def relation_attend(pg: jax.Array, r: jax.Array) -> jax.Array:
+    """Only the Pallas path carries the recompute custom_vjp; the default
+    XLA path keeps native AD so the CoR chain's backward reuses stored
+    residuals instead of re-running the relation forward (the remat trap
+    measured and fixed for ops/lstm.py)."""
     from vqa_tpu.ops import flags
 
     B, N, D = pg.shape
@@ -83,23 +106,5 @@ def _dispatch(pg, r):
         and B % 8 == 0
         and 2 * N * D * 8 * pg.dtype.itemsize < 6 * 1024 * 1024
     ):
-        return _pallas_fwd(pg, r)
+        return _relation_attend_pallas(pg, r)
     return relation_attend_reference(pg, r)
-
-
-@jax.custom_vjp
-def relation_attend(pg: jax.Array, r: jax.Array) -> jax.Array:
-    return _dispatch(pg, r)
-
-
-def _fwd(pg, r):
-    return _dispatch(pg, r), (pg, r)
-
-
-def _bwd(residuals, g):
-    pg, r = residuals
-    _, vjp = jax.vjp(relation_attend_reference, pg, r)
-    return vjp(g)
-
-
-relation_attend.defvjp(_fwd, _bwd)
