@@ -39,6 +39,7 @@ def main() -> None:
     from vqa_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_RNG", "rbg"))
     arch = sys.argv[1] if len(sys.argv) > 1 else "mutan"
     yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml"}[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -115,6 +115,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from vqa_tpu.ops.flags import set_pallas
 
     set_pallas(opt.engine.pallas)
+    jax.config.update("jax_default_prng_impl", opt.engine.rng_impl)
     if opt.engine.nan_check:
         jax.config.update("jax_debug_nans", True)
     run_dir = opt.logs.dir_logs

@@ -156,6 +156,11 @@ class EngineOptions:
     profile_dir: Optional[str] = None  # jax.profiler trace dir (SURVEY.md section 5.1)
     nan_check: bool = False            # jax.debug_nans-style guard (section 5.2)
     pallas: str = "auto"               # 'auto' | 'on' | 'off' — fused-kernel layer
+    # JAX PRNG implementation for dropout streams: 'rbg' (XLA RngBitGenerator,
+    # measured +19% CoR train — mask generation is a real cost on dropout-
+    # heavy models) or 'threefry2x32' (JAX default). Both deterministic per
+    # seed; streams differ between the two.
+    rng_impl: str = "rbg"
     device_features: bool = False      # HBM-resident feature table + on-device gather
     features_dtype: str = "float32"    # dtype for the device feature table
     # row-shard the device feature table over all mesh devices instead of
