@@ -45,9 +45,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="best | latest | <epoch>")
     p.add_argument("--save_model", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--save_all_from", type=int, default=None)
-    p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--batch_size", type=int, default=None)
+    # short/long spellings follow the reference lineage's train.py
+    p.add_argument("-lr", "--lr", "--learning_rate", dest="lr",
+                   type=float, default=None)
+    p.add_argument("-b", "--batch_size", dest="batch_size",
+                   type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--vqa_trainsplit", default=None,
+                   help="train | trainval (maps to vqa.trainsplit)")
     p.add_argument("--start_epoch", type=int, default=None)
     p.add_argument("--print_freq", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -72,6 +77,7 @@ def options_from_args(args) -> Options:
         "engine.print_freq": args.print_freq,
         "engine.seed": args.seed,
         "engine.profile_dir": args.profile_dir,
+        "vqa.trainsplit": args.vqa_trainsplit,
     }
     for key, val in named.items():
         if val is not None:
