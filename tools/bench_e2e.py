@@ -49,6 +49,9 @@ def main() -> None:
                         "(maxlength is appended automatically)")
     p.add_argument("--features_dtype", default="bfloat16",
                    choices=["bfloat16", "int8"])
+    p.add_argument("--arch", default="mutan",
+                   choices=["mutan", "concat", "mlb", "mfb", "mfh", "cor"],
+                   help="graded config to benchmark")
     args = p.parse_args()
 
     from vqa_tpu.utils import enable_compile_cache
@@ -79,8 +82,13 @@ def main() -> None:
         open(marker, "w").close()
         print(f"fixture generated in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    yaml_for = {
+        "mutan": "mutan_att.yaml", "concat": "concat_att.yaml",
+        "mlb": "mlb_att.yaml", "mfb": "mfb_coatt.yaml",
+        "mfh": "mfh_coatt.yaml", "cor": "cor.yaml",
+    }
     opt = load_options(
-        os.path.join(repo, "options/vqa2/mutan_att.yaml"),
+        os.path.join(repo, "options/vqa2", yaml_for[args.arch]),
         overrides=[
             ("vqa.dir", os.path.join(args.dir, "vqa2")),
             ("coco.dir", os.path.join(args.dir, "coco")),
@@ -161,6 +169,7 @@ def main() -> None:
     per_chip = metrics["qa_per_sec"] / jax.device_count()
     print(json.dumps({
         "metric": "e2e_eval_throughput",
+        "arch": args.arch,
         "value": round(per_chip, 1),
         "unit": "QA pairs/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_QA_S, 3),
