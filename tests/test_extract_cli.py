@@ -36,3 +36,41 @@ def test_extract_cli_writes_readable_features(tmp_path):
     assert np.isfinite(feats).all()
     # distinct images must give distinct features (order preserved)
     assert not np.allclose(feats[0], feats[1])
+
+
+def test_extract_cli_loads_params_npz(tmp_path):
+    """--params: a flattened 'a/b/c' -> array npz restores the variable tree
+    (the documented hook for ImageNet weights when they become available)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from flax.traverse_util import flatten_dict
+
+    from vqa_tpu.models import convnets
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+        img_dir / "COCO_val2014_000000000001.jpg"
+    )
+    # dump a (random but fixed) param tree in the documented npz layout
+    model = convnets.factory("resnet50")
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(variables).items()}
+    params_path = tmp_path / "resnet50.npz"
+    np.savez(params_path, **flat)
+
+    out_a = tmp_path / "coco_a"
+    out_b = tmp_path / "coco_b"
+    for out in (out_a, out_b):
+        rc = extract_main([
+            "--dir_images", str(img_dir), "--dir_out", str(out),
+            "--arch", "resnet50", "--mode", "noatt", "--batch", "1",
+            "--size", "64", "--params", str(params_path), "--seed", "9",
+        ])
+        assert rc == 0
+    fa = FeatureStore(str(out_a), "resnet50", "noatt", "ram").get(np.asarray([0]))
+    fb = FeatureStore(str(out_b), "resnet50", "noatt", "ram").get(np.asarray([0]))
+    # identical loaded weights -> identical features despite different seeds
+    np.testing.assert_array_equal(fa, fb)

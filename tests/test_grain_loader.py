@@ -51,6 +51,17 @@ def test_grain_loader_deterministic_shuffle(val_set):
     assert not np.array_equal(np.concatenate(a), np.concatenate(c))
 
 
+def test_grain_loader_multiprocess_workers(val_set):
+    """worker_count>0: the per-item source pickles into worker processes and
+    the stream matches the in-process one (SURVEY.md C7 worker path)."""
+    inproc = [b["question_id"] for b in grain_loader(val_set, 16, shuffle=True, seed=5)]
+    workers = [
+        b["question_id"]
+        for b in grain_loader(val_set, 16, shuffle=True, seed=5, worker_count=1)
+    ]
+    np.testing.assert_array_equal(np.concatenate(inproc), np.concatenate(workers))
+
+
 def _labels_by_qid(loader):
     out = {}
     for b in loader:
