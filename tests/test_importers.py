@@ -1,0 +1,247 @@
+"""Torch-weight importer tests (vqa_tpu/importers.py, tools/import_torch.py).
+
+Each converter is pinned against a REAL torch module carrying the source
+layout: a hand-built ResNet with torchvision's module naming (conv1/bn1/
+layer{s}.{b}/downsample.{0,1} — the state_dict format of ImageNet
+checkpoints), and nn.Embedding + nn.GRU/nn.LSTM for the skip-thoughts-port
+encoder path (SURVEY.md C8/C15).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from torch import nn as tnn
+
+from vqa_tpu import importers
+from vqa_tpu.models import convnets
+from vqa_tpu.models.seq2vec import SeqEncoder
+
+STAGES = (1, 1, 1, 1)  # one bottleneck per stage: exercises every mapping rule
+
+
+class TBottleneck(tnn.Module):
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride != 1 or inplanes != planes * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+
+    def forward(self, x):
+        identity = x
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(y + identity)
+
+
+class TResNet(tnn.Module):
+    """torchvision-named ResNet (state_dict-identical key layout)."""
+
+    def __init__(self, stage_sizes):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        inplanes = 64
+        for s, n_blocks in enumerate(stage_sizes):
+            blocks = []
+            planes = 64 * 2**s
+            for b in range(n_blocks):
+                stride = 2 if s > 0 and b == 0 else 1
+                blocks.append(TBottleneck(inplanes, planes, stride))
+                inplanes = planes * 4
+            setattr(self, f"layer{s + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+        return x
+
+
+def _randomize(model: tnn.Module, seed: int) -> None:
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5, generator=g)
+                m.bias.uniform_(-0.2, 0.2, generator=g)
+                m.running_mean.uniform_(-0.5, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+            elif isinstance(m, tnn.Conv2d):
+                m.weight.normal_(0, 0.05, generator=g)
+
+
+def test_resnet_import_matches_torch_eval_forward():
+    tmodel = TResNet(STAGES)
+    _randomize(tmodel, 0)
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    variables = importers.resnet_from_torch(sd, STAGES)
+    fmodel = convnets.ResNet(stage_sizes=STAGES)
+
+    x = np.random.default_rng(1).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(fmodel.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_import_covers_real_depths():
+    """Key coverage: a full resnet50-shaped state_dict converts without
+    missing keys and yields the same tree structure as a fresh init."""
+    tmodel = TResNet(convnets._DEPTHS["resnet50"])
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = importers.resnet_from_torch(sd, convnets._DEPTHS["resnet50"])
+
+    fmodel = convnets.factory("resnet50")
+    ref = fmodel.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    ref_shapes = jax.tree.map(lambda a: tuple(a.shape), ref)
+    got_shapes = jax.tree.map(lambda a: tuple(a.shape), variables)
+    assert ref_shapes == got_shapes
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_seq_encoder_import_matches_torch(cell):
+    B, T, E, H, VOCAB = 3, 7, 5, 6, 20
+    emb = tnn.Embedding(VOCAB, E)
+    rnn = (tnn.GRU if cell == "gru" else tnn.LSTM)(E, H, batch_first=True)
+    sd = {f"embedding.{k}": v.numpy() for k, v in emb.state_dict().items()}
+    sd.update({f"rnn.{k}": v.numpy() for k, v in rnn.state_dict().items()})
+
+    params = importers.seq_encoder_from_torch(sd, cell)
+    enc = SeqEncoder(vocab_size=VOCAB, emb_size=E, hidden_size=H, cell=cell)
+
+    tokens = np.random.default_rng(2).integers(1, VOCAB, (B, T)).astype(np.int32)
+    lengths = np.full(B, T, np.int32)
+    ours = np.asarray(
+        enc.apply({"params": params}, jnp.asarray(tokens), jnp.asarray(lengths))
+    )
+    with torch.no_grad():
+        out, _ = rnn(emb(torch.from_numpy(tokens).long()))
+        theirs = out[:, -1].numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_align_embedding_to_vocab():
+    table = np.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
+    source = ["cat", "dog", "fish"]
+    target = ["<pad>", "<unk>", "dog", "yeti"]
+    aligned, n_oov = importers.align_embedding_to_vocab(table, source, target)
+    assert n_oov == 2  # <unk> and yeti
+    np.testing.assert_array_equal(aligned[0], [0, 0])
+    np.testing.assert_array_equal(aligned[2], [3, 4])
+    np.testing.assert_array_equal(aligned[3], [0, 0])
+
+    aligned, _ = importers.align_embedding_to_vocab(table, source, target, oov="mean")
+    np.testing.assert_allclose(aligned[3], table[[1]].mean(axis=0))  # only 'dog' matched
+
+
+def test_import_torch_cli_roundtrip(tmp_path):
+    """CLI: .pth state_dict -> encoder npz + vocab-aligned embedding npz."""
+    from tools.import_torch import main as cli
+
+    E, H, VOCAB = 4, 5, 9
+    emb = tnn.Embedding(VOCAB, E)
+    rnn = tnn.GRU(E, H, batch_first=True)
+    sd = {f"embedding.{k}": v for k, v in emb.state_dict().items()}
+    sd.update({f"rnn.{k}": v for k, v in rnn.state_dict().items()})
+    # DataParallel-style prefixes + checkpoint wrapper, as the lineage saves
+    ckpt = tmp_path / "st.pth"
+    torch.save({"state_dict": {f"module.{k}": v for k, v in sd.items()}}, ckpt)
+
+    out = tmp_path / "enc.npz"
+    assert cli([str(ckpt), "--kind", "seq2vec", "--cell", "gru", "--out", str(out)]) == 0
+    loaded = np.load(out)
+    assert set(loaded.files) == {
+        "embed/embedding", "gru_0/wx", "gru_0/wh", "gru_0/bx", "gru_0/bh"
+    }
+    assert loaded["gru_0/wx"].shape == (E, 3 * H)
+
+    words = tmp_path / "words.txt"
+    words.write_text("".join(f"w{i}\n" for i in range(VOCAB)))
+    vocab = tmp_path / "vocab.json"
+    vocab.write_text(json.dumps({"wid_to_word": ["<pad>", "<unk>", "w3", "nope"],
+                                 "aid_to_ans": []}))
+    out_emb = tmp_path / "emb.npz"
+    assert cli([
+        str(ckpt), "--kind", "embedding", "--embedding_key", "embedding.weight",
+        "--source_words", str(words), "--vocab", str(vocab), "--out", str(out_emb),
+    ]) == 0
+    aligned = np.load(out_emb)["embedding"]
+    assert aligned.shape == (4, E)
+    np.testing.assert_allclose(
+        aligned[2], emb.state_dict()["weight"][3].numpy(), rtol=1e-6
+    )
+
+
+def test_pretrained_encoder_hook(tmp_path):
+    """cli.train.init_params grafts a converted encoder npz into the model
+    params (model.seq2vec.pretrained_encoder)."""
+    from vqa_tpu.cli.train import init_params
+    from vqa_tpu.config import load_options
+    from vqa_tpu.models import factory as models_factory
+
+    E, H, VOCAB, NANS = 4, 5, 11, 7
+    emb = tnn.Embedding(VOCAB, E)
+    rnn = tnn.GRU(E, H, batch_first=True)
+    sd = {f"embedding.{k}": v.numpy() for k, v in emb.state_dict().items()}
+    sd.update({f"rnn.{k}": v.numpy() for k, v in rnn.state_dict().items()})
+    enc_npz = tmp_path / "enc.npz"
+    importers.save_tree_npz(str(enc_npz), importers.seq_encoder_from_torch(sd, "gru"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    opt = load_options(
+        os.path.join(repo, "options/vqa2/mutan_att.yaml"),
+        [
+            "model.seq2vec.arch=gru",
+            f"model.seq2vec.emb_size={E}",
+            f"model.seq2vec.hidden_size={H}",
+            f"model.seq2vec.pretrained_encoder={enc_npz}",
+            "model.attention.dim_hq=6", "model.attention.dim_hv=6",
+            "model.attention.dim_mm=8", "model.attention.R=2",
+            "model.fusion.dim_hq=6", "model.fusion.dim_hv=6",
+            "model.fusion.dim_mm=8", "model.fusion.R=2",
+        ],
+    )
+
+    class FakeDataset:
+        feature_shape = (6, 16)
+
+    model = models_factory(opt.model, VOCAB, NANS)
+    params = init_params(model, FakeDataset(), opt)
+    got = np.asarray(params["encoder"]["gru_0"]["wx"])
+    np.testing.assert_allclose(got, rnn.state_dict()["weight_ih_l0"].numpy().T)
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["embed"]["embedding"]),
+        emb.state_dict()["weight"].numpy(),
+    )
+
+    # wrong vocab size -> loud error pointing at re-alignment
+    bad = load_options(
+        os.path.join(repo, "options/vqa2/mutan_att.yaml"),
+        [f"model.seq2vec.pretrained_encoder={enc_npz}",
+         "model.seq2vec.arch=gru",
+         f"model.seq2vec.emb_size={E}", f"model.seq2vec.hidden_size={H}"],
+    )
+    bad_model = models_factory(bad.model, VOCAB + 3, NANS)
+    with pytest.raises(ValueError, match="re-aligned"):
+        init_params(bad_model, FakeDataset(), bad)

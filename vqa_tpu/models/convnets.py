@@ -41,8 +41,13 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), dtype=self.dtype, use_bias=False, name="conv1")(x)
         y = jax.nn.relu(norm("bn1")(y))
+        # explicit pad=1 (not SAME): for the strided 3x3 convs SAME pads
+        # (0,1) on even inputs while the torchvision lineage pads (1,1) —
+        # one-pixel window misalignment that breaks imported-weight parity
+        # (pinned by tests/test_importers.py)
         y = nn.Conv(
             self.features, (3, 3), (self.strides, self.strides),
+            padding=[(1, 1), (1, 1)],
             dtype=self.dtype, use_bias=False, name="conv2",
         )(y)
         y = jax.nn.relu(norm("bn2")(y))

@@ -31,7 +31,7 @@ def _dtype(name: Any):
 _VALID_KEYS = {
     "seq2vec": {
         "arch", "emb_size", "hidden_size", "num_layers", "dropout",
-        "return_sequence", "pretrained_emb",
+        "return_sequence", "pretrained_emb", "pretrained_encoder",
     },
     "attention": {
         "nb_glimpses", "question_glimpses", "dim_h", "dim_hq", "dim_hv",
