@@ -63,19 +63,27 @@ def test_mutan_fusion_matches_torch():
     q_np, v_np = _rand((B, DQ), 2), _rand((B, DV), 3)
     mod = MutanFusion(dim_hq=9, dim_hv=10, dim_mm=M, R=R)
     params = mod.init(jax.random.key(1), jnp.asarray(q_np), jnp.asarray(v_np))
+    # core biases init to zero; randomize so the oracle checks the bias math
+    # (the lineage's per-rank nn.Linear cores carry biases)
+    params["params"]["b_core_q"] = jnp.asarray(_rand((R * M,), 20))
+    params["params"]["b_core_v"] = jnp.asarray(_rand((R * M,), 21))
     ours = np.asarray(mod.apply(params, jnp.asarray(q_np), jnp.asarray(v_np)))
 
     p = jax.tree.map(np.asarray, params["params"])
     wq = torch.from_numpy(p["w_core_q"])  # [dim_hq, R*M]
     wv = torch.from_numpy(p["w_core_v"])  # [dim_hv, R*M]
+    bq = torch.from_numpy(p["b_core_q"])
+    bv = torch.from_numpy(p["b_core_v"])
     with torch.no_grad():
         q = torch.tanh(_lin(torch.from_numpy(q_np), p["q_proj"]))
         v = torch.tanh(_lin(torch.from_numpy(v_np), p["v_proj"]))
-        # the lineage's Tucker core: explicit loop over ranks, list + stack
+        # the lineage's Tucker core: explicit loop over ranks (per-rank
+        # nn.Linear with bias), list + stack
         x_mm = []
         for r in range(R):
-            x_q = q @ wq[:, r * M : (r + 1) * M]
-            x_v = v @ wv[:, r * M : (r + 1) * M]
+            sl = slice(r * M, (r + 1) * M)
+            x_q = q @ wq[:, sl] + bq[sl]
+            x_v = v @ wv[:, sl] + bv[sl]
             x_mm.append(x_q * x_v)
         theirs = torch.tanh(torch.stack(x_mm, dim=0).sum(dim=0)).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
@@ -147,12 +155,16 @@ def test_mutan_glimpse_attention_matches_torch():
     fusion = MutanFusion(dim_hq=9, dim_hv=10, dim_mm=M, R=rank)
     head = GlimpseAttention(fusion=fusion, nb_glimpses=G, dim_h=None)
     params = head.init(jax.random.key(4), jnp.asarray(q_np), jnp.asarray(v_np))
+    params["params"]["fusion"]["b_core_q"] = jnp.asarray(_rand((rank * M,), 22))
+    params["params"]["fusion"]["b_core_v"] = jnp.asarray(_rand((rank * M,), 23))
     attended, alpha = head.apply(params, jnp.asarray(q_np), jnp.asarray(v_np))
 
     p = jax.tree.map(np.asarray, params["params"])
     fp = p["fusion"]
     wq = torch.from_numpy(fp["w_core_q"])
     wv = torch.from_numpy(fp["w_core_v"])
+    bq = torch.from_numpy(fp["b_core_q"])
+    bv = torch.from_numpy(fp["b_core_v"])
     with torch.no_grad():
         # tile q over regions, flatten to [B*R, .] — the torch-lineage att style
         q = torch.from_numpy(q_np)[:, None, :].expand(B, R_regions, DQ).reshape(-1, DQ)
@@ -161,7 +173,8 @@ def test_mutan_glimpse_attention_matches_torch():
         x_v = torch.tanh(_lin(v, fp["v_proj"]))
         x_mm = []
         for r in range(rank):
-            x_mm.append((x_q @ wq[:, r * M : (r + 1) * M]) * (x_v @ wv[:, r * M : (r + 1) * M]))
+            sl = slice(r * M, (r + 1) * M)
+            x_mm.append((x_q @ wq[:, sl] + bq[sl]) * (x_v @ wv[:, sl] + bv[sl]))
         joint = torch.tanh(torch.stack(x_mm, dim=0).sum(dim=0))
         logits = _lin(joint, p["glimpse_logits"]).view(B, R_regions, G)
         glimpses = []

@@ -193,6 +193,122 @@ def test_import_torch_cli_roundtrip(tmp_path):
     )
 
 
+class TMutanAtt(tnn.Module):
+    """Torch mirror of the lineage's MutanAtt in its module naming (the
+    options/import_specs/mutan_att.json 'key' layout): per-rank Tucker
+    Linears in ModuleLists, 1x1 convs for per-region projections, and
+    per-glimpse fusion Linears. Forward restates the model in the torch
+    style (explicit loops) so a full converted checkpoint can be checked
+    logits-for-logits against our AttModel."""
+
+    def __init__(self, V, E, H, dv, hq_a, hv_a, M_a, R_a, G, hq_f, hv_f, M_f, R_f, nans):
+        super().__init__()
+        self.seq2vec = tnn.Module()
+        self.seq2vec.embedding = tnn.Embedding(V, E)
+        self.seq2vec.rnn = tnn.LSTM(E, H, batch_first=True)
+        self.conv_v_att = tnn.Conv2d(dv, hv_a, 1)
+        self.linear_q_att = tnn.Linear(H, hq_a)
+        self.fusion_att = tnn.Module()
+        self.fusion_att.list_linear_hq = tnn.ModuleList(
+            [tnn.Linear(hq_a, M_a) for _ in range(R_a)])
+        self.fusion_att.list_linear_hv = tnn.ModuleList(
+            [tnn.Linear(hv_a, M_a) for _ in range(R_a)])
+        self.conv_att = tnn.Conv2d(M_a, G, 1)
+        self.list_linear_v_fusion = tnn.ModuleList(
+            [tnn.Linear(dv, hv_f // G) for _ in range(G)])
+        self.linear_q_fusion = tnn.Linear(H, hq_f)
+        self.fusion = tnn.Module()
+        self.fusion.list_linear_hq = tnn.ModuleList(
+            [tnn.Linear(hq_f, M_f) for _ in range(R_f)])
+        self.fusion.list_linear_hv = tnn.ModuleList(
+            [tnn.Linear(hv_f, M_f) for _ in range(R_f)])
+        self.linear_classif = tnn.Linear(M_f, nans)
+        self.G = G
+
+    @staticmethod
+    def _tucker(ns, xq, xv):
+        z = None
+        for lq, lv in zip(ns.list_linear_hq, ns.list_linear_hv):
+            term = lq(xq) * lv(xv)
+            z = term if z is None else z + term
+        return torch.tanh(z)
+
+    def forward(self, v, tokens):
+        B, Rg, dv = v.shape
+        emb = self.seq2vec.embedding(tokens)
+        out, _ = self.seq2vec.rnn(emb)
+        q = out[:, -1]  # full-length rows in the test
+        qa = torch.tanh(self.linear_q_att(q))
+        va = torch.tanh(
+            F.linear(v, self.conv_v_att.weight[:, :, 0, 0], self.conv_v_att.bias))
+        joint = self._tucker(
+            self.fusion_att, qa[:, None, :].expand(B, Rg, -1), va)
+        logits = F.linear(joint, self.conv_att.weight[:, :, 0, 0], self.conv_att.bias)
+        glimpses = [
+            (F.softmax(logits[:, :, g], dim=1).unsqueeze(2) * v).sum(dim=1)
+            for g in range(self.G)
+        ]
+        vf = torch.cat(
+            [torch.tanh(lin(g_v)) for lin, g_v in zip(self.list_linear_v_fusion, glimpses)],
+            dim=1,
+        )
+        qf = torch.tanh(self.linear_q_fusion(q))
+        z = self._tucker(self.fusion, qf, vf)
+        return self.linear_classif(z)
+
+
+def test_full_mutan_att_checkpoint_import_matches_torch(tmp_path):
+    """Lineage-named torch MutanAtt checkpoint -> --kind model CLI ->
+    model.pretrained_params graft -> identical eval logits."""
+    from tools.import_torch import main as cli
+    from vqa_tpu.cli.train import _graft_npz
+    from vqa_tpu.config import load_options
+    from vqa_tpu.models import factory as models_factory
+
+    V, E, H, dv, Rg, T = 19, 6, 8, 10, 5, 7
+    hq_a, hv_a, M_a, R_a, G = 7, 9, 11, 3, 2
+    hq_f, hv_f, M_f, R_f, nans = 6, 8, 12, 2, 13
+
+    torch.manual_seed(0)
+    tmodel = TMutanAtt(V, E, H, dv, hq_a, hv_a, M_a, R_a, G, hq_f, hv_f, M_f, R_f, nans)
+    tmodel.eval()
+    ckpt = tmp_path / "mutan.pth"
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+    yaml = tmp_path / "opt.yaml"
+    yaml.write_text(f"""
+model:
+  arch: MutanAtt
+  seq2vec: {{arch: lstm, emb_size: {E}, hidden_size: {H}}}
+  attention: {{nb_glimpses: {G}, dim_hq: {hq_a}, dim_hv: {hv_a}, dim_mm: {M_a}, R: {R_a}}}
+  fusion: {{arch: mutan, dim_hq: {hq_f}, dim_hv: {hv_f}, dim_mm: {M_f}, R: {R_f}}}
+""")
+    out = tmp_path / "params.npz"
+    assert cli([
+        str(ckpt), "--kind", "model", "--path_opt", str(yaml),
+        "--num_words", str(V), "--num_answers", str(nans),
+        "--regions", str(Rg), "--feature_dim", str(dv), "--out", str(out),
+    ]) == 0
+
+    opt = load_options(str(yaml))
+    model = models_factory(opt.model, V, nans)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((3, Rg, dv)).astype(np.float32)
+    tokens = rng.integers(1, V, (3, T)).astype(np.int32)
+    lengths = np.full(3, T, np.int32)
+
+    params = model.init(
+        jax.random.key(0), jnp.asarray(v), jnp.asarray(tokens), jnp.asarray(lengths)
+    )["params"]
+    _graft_npz(np.load(out), params, "pretrained_params")
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(v), jnp.asarray(tokens), jnp.asarray(lengths)
+    ))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(v), torch.from_numpy(tokens).long()).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_pretrained_encoder_hook(tmp_path):
     """cli.train.init_params grafts a converted encoder npz into the model
     params (model.seq2vec.pretrained_encoder)."""

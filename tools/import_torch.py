@@ -62,8 +62,22 @@ def main(argv=None) -> int:
     p.add_argument("checkpoint", help=".pth/.pt/.npz with torch weights")
     p.add_argument("--kind", required=True,
                    choices=["resnet50", "resnet101", "resnet152",
-                            "seq2vec", "embedding"])
+                            "seq2vec", "embedding", "model"])
     p.add_argument("--out", required=True, help="output .npz")
+    p.add_argument("--path_opt", default=None,
+                   help="model: YAML config of the target model")
+    p.add_argument("--num_words", type=int, default=None, help="model: vocab size")
+    p.add_argument("--num_answers", type=int, default=None, help="model: nans")
+    p.add_argument("--regions", type=int, default=36)
+    p.add_argument("--feature_dim", type=int, default=2048)
+    p.add_argument("--spec", default=None,
+                   help="model: migration-spec json (default: "
+                        "options/import_specs/ by arch)")
+    p.add_argument("--allow_unfilled", action="store_true",
+                   help="model: keep init values for leaves the spec misses")
+    p.add_argument("--show", action="store_true",
+                   help="model: list torch keys and model leaves with shapes, "
+                        "then exit (for spec authoring)")
     p.add_argument("--cell", default="gru", choices=["lstm", "gru"],
                    help="seq2vec: recurrent cell type")
     p.add_argument("--num_layers", type=int, default=1)
@@ -79,7 +93,53 @@ def main(argv=None) -> int:
 
     sd = load_state_dict(args.checkpoint)
 
-    if args.kind.startswith("resnet"):
+    if args.kind == "model":
+        if not (args.path_opt and args.num_words and args.num_answers):
+            p.error("--kind model needs --path_opt, --num_words, --num_answers")
+        import jax
+        import jax.numpy as jnp
+
+        from vqa_tpu.config import load_options
+        from vqa_tpu.models import factory as model_factory
+
+        opt = load_options(args.path_opt)
+        model = model_factory(opt.model, args.num_words, args.num_answers)
+        visual = jnp.zeros((2, args.regions, args.feature_dim), jnp.float32)
+        question = jnp.zeros((2, opt.vqa.maxlength), jnp.int32)
+        lengths = jnp.ones((2,), jnp.int32)
+        template = model.init(jax.random.key(0), visual, question, lengths)["params"]
+
+        if args.show:
+            print("== torch state_dict ==")
+            for k in sorted(sd):
+                print(f"  {k}  {tuple(sd[k].shape)}")
+            print("== model param leaves ==")
+            for k, v in sorted(importers.flatten_tree(template).items()):
+                print(f"  {k}  {tuple(v.shape)}")
+            return 0
+
+        spec_path = args.spec
+        if spec_path is None:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            name = {"MutanAtt": "mutan_att"}.get(opt.model.arch)
+            if name is None:
+                p.error(f"no default spec for arch {opt.model.arch!r}; pass --spec")
+            spec_path = os.path.join(repo, "options/import_specs", f"{name}.json")
+        with open(spec_path) as f:
+            spec = json.load(f)
+        entries = spec["entries"] if isinstance(spec, dict) else spec
+
+        tree, report = importers.model_from_torch(sd, template, entries)
+        if report["unfilled"] and not args.allow_unfilled:
+            raise SystemExit(
+                "spec left these leaves at their init values (pass "
+                f"--allow_unfilled to accept): {report['unfilled']}"
+            )
+        importers.save_tree_npz(args.out, tree)
+        print(f"wrote {args.out}: {len(report['filled'])} leaves imported"
+              + (f", {len(report['unfilled'])} left at init" if report["unfilled"] else "")
+              + " — use with model.pretrained_params")
+    elif args.kind.startswith("resnet"):
         from vqa_tpu.models.convnets import _DEPTHS
 
         tree = importers.resnet_from_torch(sd, _DEPTHS[args.kind])

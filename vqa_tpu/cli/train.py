@@ -110,36 +110,43 @@ def init_params(model, dataset, opt: Options):
         params["encoder"]["embed"]["embedding"] = jnp.asarray(table, current.dtype)
         print(f"loaded pretrained embeddings from {emb_path}", flush=True)
 
-    # optional full pretrained question encoder (embedding + recurrent cell),
-    # e.g. a converted torch skip-thoughts port: npz of the flattened
-    # SeqEncoder param tree from tools/import_torch.py --kind seq2vec.
-    # Leaves merge by path; every leaf must exist with a matching shape
-    # (an embedding/vocab mismatch points at --kind embedding alignment).
+    # optional full pretrained question encoder (embedding + recurrent cell,
+    # e.g. a converted torch skip-thoughts port: tools/import_torch.py
+    # --kind seq2vec) and/or a full converted reference checkpoint
+    # (--kind model). Leaves merge by path with shape validation.
     enc_path = (opt.model.seq2vec or {}).get("pretrained_encoder")
     if enc_path:
-        loaded = np.load(enc_path)
-        encoder = params["encoder"]
-        for key in loaded.files:
-            node, path = encoder, key.split("/")
-            for part in path[:-1]:
-                if part not in node:
-                    raise KeyError(
-                        f"pretrained_encoder leaf {key!r} not in the encoder "
-                        f"param tree (have {sorted(node)}); wrong --cell/arch?"
-                    )
-                node = node[part]
-            leaf = path[-1]
-            if leaf not in node:
-                raise KeyError(f"pretrained_encoder leaf {key!r} not in the encoder tree")
-            if tuple(loaded[key].shape) != tuple(node[leaf].shape):
-                raise ValueError(
-                    f"pretrained_encoder {key}: shape {loaded[key].shape} != "
-                    f"{node[leaf].shape} (embedding rows must be re-aligned to "
-                    "this run's vocab: tools/import_torch.py --kind embedding)"
-                )
-            node[leaf] = jnp.asarray(loaded[key], node[leaf].dtype)
+        _graft_npz(np.load(enc_path), params["encoder"], "pretrained_encoder")
         print(f"loaded pretrained encoder from {enc_path}", flush=True)
+    if opt.model.pretrained_params:
+        _graft_npz(np.load(opt.model.pretrained_params), params, "pretrained_params")
+        print(f"loaded pretrained params from {opt.model.pretrained_params}", flush=True)
     return params
+
+
+def _graft_npz(loaded, tree, label: str) -> None:
+    """Merge a '/'-flattened npz into a (sub)tree of init params, leaf by
+    leaf; every leaf must exist with a matching shape (an embedding/vocab
+    mismatch points at --kind embedding alignment)."""
+    for key in loaded.files:
+        node, path = tree, key.split("/")
+        for part in path[:-1]:
+            if part not in node:
+                raise KeyError(
+                    f"{label} leaf {key!r} not in the param tree "
+                    f"(have {sorted(node)}); wrong --cell/arch/config?"
+                )
+            node = node[part]
+        leaf = path[-1]
+        if leaf not in node:
+            raise KeyError(f"{label} leaf {key!r} not in the param tree")
+        if tuple(loaded[key].shape) != tuple(node[leaf].shape):
+            raise ValueError(
+                f"{label} {key}: shape {loaded[key].shape} != "
+                f"{node[leaf].shape} (embedding rows must be re-aligned to "
+                "this run's vocab: tools/import_torch.py --kind embedding)"
+            )
+        node[leaf] = jnp.asarray(loaded[key], node[leaf].dtype)
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -143,6 +143,10 @@ class ModelOptions:
     attention: Dict[str, Any] = dataclasses.field(default_factory=dict)
     fusion: Dict[str, Any] = dataclasses.field(default_factory=dict)
     classif: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # npz of a full flattened param tree to graft over the init params
+    # (e.g. a converted reference torch checkpoint: tools/import_torch.py
+    # --kind model); leaves merge by path with shape validation
+    pretrained_params: Optional[str] = None
     # family-specific extensions (MFB pooling, CoR chain) live here too
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
@@ -277,7 +281,7 @@ def _build_section(cls, data: Dict[str, Any], section: Optional[str] = None):
 
 
 def _build_model_section(data: Dict[str, Any]) -> ModelOptions:
-    known = {"arch", "seq2vec", "attention", "fusion", "classif"}
+    known = {"arch", "seq2vec", "attention", "fusion", "classif", "pretrained_params"}
     kwargs: Dict[str, Any] = {"extra": {}}
     for key, value in data.items():
         if key in known:

@@ -199,6 +199,160 @@ def align_embedding_to_vocab(
     return rows, n_oov
 
 
+# -------------------------------------------- full-model (C20 payload) import
+#
+# The reference lineage checkpoints whole models with ``torch.save`` (SURVEY
+# C20). A migration spec maps OUR param-tree paths to the torch state_dict's
+# module names; converters below cover every layer shape the lineage uses,
+# including its ModuleList idioms:
+#
+#   rank_dense      ModuleList of R Linears [in -> M]   (the MUTAN Tucker
+#                   core's per-rank projections) -> one kernel [in, R*M] +
+#                   bias [R*M] — exactly our w_core_*/b_core_* layout
+#   blockdiag_dense ModuleList of per-glimpse Linears [in_g -> out_g] (the
+#                   lineage projects each attention glimpse separately, then
+#                   concatenates) -> one block-diagonal kernel
+#                   [sum in_g, sum out_g] — functionally identical inside our
+#                   single fused Dense
+#
+# Spec entries: {"path": "our/param/path", "kind": <converter>,
+#                "key": "torch.module.name", ["leaves": [...]], ["layer": k]}
+# Every import is shape-validated leaf-by-leaf against a template tree from
+# ``model.init`` — a wrong or renamed torch key fails loudly, never silently.
+
+
+def _conv1x1_dense(sd: Mapping[str, Array], key: str) -> Tree:
+    """torch Conv2d(ci, co, 1) used as a per-position Linear -> Dense."""
+    w = _require(sd, f"{key}.weight")  # [O, I, 1, 1]
+    if w.ndim != 4 or w.shape[2] != 1 or w.shape[3] != 1:
+        raise ValueError(f"{key}.weight is {w.shape}, expected a 1x1 conv")
+    out = {"kernel": np.ascontiguousarray(w[:, :, 0, 0].T)}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
+
+
+def _module_list_indices(sd: Mapping[str, Array], key: str) -> list:
+    idx = []
+    while f"{key}.{len(idx)}.weight" in sd:
+        idx.append(len(idx))
+    if not idx:
+        raise KeyError(f"no ModuleList entries under {key!r} (missing {key}.0.weight)")
+    return idx
+
+
+def _rank_dense(sd: Mapping[str, Array], key: str) -> Tree:
+    ws, bs = [], []
+    for r in _module_list_indices(sd, key):
+        ws.append(np.asarray(sd[f"{key}.{r}.weight"]).T)  # [in, M]
+        if f"{key}.{r}.bias" in sd:
+            bs.append(np.asarray(sd[f"{key}.{r}.bias"]))
+    out = {"kernel": np.concatenate(ws, axis=1)}
+    if bs:
+        out["bias"] = np.concatenate(bs)
+    return out
+
+
+def _blockdiag_dense(sd: Mapping[str, Array], key: str) -> Tree:
+    ws = [np.asarray(sd[f"{key}.{g}.weight"]).T for g in _module_list_indices(sd, key)]
+    n_in, n_out = sum(w.shape[0] for w in ws), sum(w.shape[1] for w in ws)
+    kernel = np.zeros((n_in, n_out), ws[0].dtype)
+    i = j = 0
+    bs = []
+    for g, w in enumerate(ws):
+        kernel[i : i + w.shape[0], j : j + w.shape[1]] = w
+        i, j = i + w.shape[0], j + w.shape[1]
+        if f"{key}.{g}.bias" in sd:
+            bs.append(np.asarray(sd[f"{key}.{g}.bias"]))
+    out = {"kernel": kernel}
+    if bs:
+        out["bias"] = np.concatenate(bs)
+    return out
+
+
+def _dense_entry(sd: Mapping[str, Array], key: str) -> Tree:
+    return from_dense(
+        _require(sd, f"{key}.weight"),
+        np.asarray(sd[f"{key}.bias"]) if f"{key}.bias" in sd else None,
+    )
+
+
+def _rnn_entry(conv, sd: Mapping[str, Array], key: str, layer: int) -> Tree:
+    return conv(*(
+        _require(sd, f"{key}.{name}_l{layer}")
+        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
+    ))
+
+
+_ENTRY_KINDS = {
+    "dense": _dense_entry,
+    "conv1x1": _conv1x1_dense,
+    "rank_dense": _rank_dense,
+    "blockdiag_dense": _blockdiag_dense,
+    "embedding": lambda sd, key: from_embedding(_require(sd, f"{key}.weight")),
+    "lstm": lambda sd, key, layer=0: _rnn_entry(from_lstm, sd, key, layer),
+    "gru": lambda sd, key, layer=0: _rnn_entry(from_gru, sd, key, layer),
+}
+
+
+def model_from_torch(
+    sd: Mapping[str, Array],
+    template: Tree,
+    spec: Sequence[Mapping[str, Any]],
+) -> Tuple[Tree, Dict[str, list]]:
+    """Convert a full torch state_dict into a params tree shaped like
+    ``template`` (from ``model.init``). Returns (tree, report) where report
+    lists 'filled' and 'unfilled' leaf paths — callers decide whether
+    unfilled leaves are an error (the CLI does, unless --allow_unfilled)."""
+    sd = strip_prefixes(sd)
+    tree = jax_tree_copy(template)
+    filled: list = []
+    for entry in spec:
+        kind = entry["kind"]
+        fn = _ENTRY_KINDS.get(kind)
+        if fn is None:
+            raise KeyError(f"unknown spec kind {kind!r}; known: {sorted(_ENTRY_KINDS)}")
+        kwargs = {"layer": entry["layer"]} if "layer" in entry else {}
+        converted = fn(sd, entry["key"], **kwargs)
+        if "leaves" in entry:  # remap {kernel, bias} onto custom leaf names
+            names = list(entry["leaves"])
+            converted = dict(zip(names, [converted["kernel"], converted.get("bias")][: len(names)]))
+            if any(v is None for v in converted.values()):
+                raise KeyError(f"{entry['key']}: spec wants leaves {names} but "
+                               "the torch module has no bias")
+        path = entry["path"].split("/") if entry["path"] else []
+        node = tree
+        for part in path:
+            if part not in node:
+                raise KeyError(
+                    f"spec path {entry['path']!r} not in the param tree; "
+                    f"siblings here: {sorted(node)}"
+                )
+            node = node[part]
+        for leaf, value in converted.items():
+            if leaf not in node:
+                raise KeyError(f"{entry['path']}/{leaf} not in the param tree; "
+                               f"have: {sorted(node)}")
+            want = tuple(np.shape(node[leaf]))
+            got = tuple(value.shape)
+            if want != got:
+                raise ValueError(
+                    f"{entry['path']}/{leaf}: torch {entry['key']} gives shape "
+                    f"{got}, model expects {want} — check the spec/config dims"
+                )
+            node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+            filled.append("/".join(path + [leaf]))
+    unfilled = [k for k in flatten_tree(tree) if k not in set(filled)]
+    return tree, {"filled": sorted(filled), "unfilled": sorted(unfilled)}
+
+
+def jax_tree_copy(tree: Tree) -> Tree:
+    """Deep-copy the dict structure, converting leaves to numpy."""
+    if isinstance(tree, Mapping):
+        return {k: jax_tree_copy(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
 # --------------------------------------------------------------- npz helpers
 
 

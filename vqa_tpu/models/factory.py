@@ -37,6 +37,7 @@ _VALID_KEYS = {
         "nb_glimpses", "question_glimpses", "dim_h", "dim_hq", "dim_hv",
         "dim_mm", "R", "dropout", "dropout_q", "dropout_v", "dropout_mm",
         "dropout_hq", "dropout_hv", "activation", "activation_q", "activation_v",
+        "core_bias",
     },
     "classif": {"dim_h", "activation", "dropout"},
     "chain": {"steps"},
@@ -46,7 +47,7 @@ _VALID_KEYS = {
         "arch", "dim_h", "dim_hq", "dim_hv", "dim_mm", "R", "pool_factor",
         "mfh_order", "dropout", "dropout_pre", "dropout_q", "dropout_v",
         "dropout_hq", "dropout_hv", "activation_q", "activation_v",
-        "activation_hq", "activation_hv", "project_inputs",
+        "activation_hq", "activation_hv", "project_inputs", "core_bias",
     },
 }
 
@@ -91,6 +92,7 @@ def _att_scoring_fusion(arch: str, att: dict, dtype) -> tuple:
             dropout_hv=att.get("dropout_hv", 0.0),
             activation_q=att.get("activation_q", "tanh"),
             activation_v=att.get("activation_v", "tanh"),
+            core_bias=att.get("core_bias", True),
             dtype=dtype,
         )
         return f, dict(dim_h=None)

@@ -97,6 +97,12 @@ class MutanFusion(nn.Module):
     activation_hq: str = "none"
     activation_hv: str = "none"
     project_inputs: bool = True  # False when caller already projected (att path)
+    # the torch lineage builds the core from per-rank nn.Linear(dim_h, dim_mm)
+    # modules, whose default biases make each rank's term (W_r x + b_r) —
+    # core_bias keeps that exact parametrization (and lets converted torch
+    # checkpoints import exactly); the published equation's bias-free core is
+    # core_bias=false
+    core_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,6 +122,11 @@ class MutanFusion(nn.Module):
         v = nn.Dropout(self.dropout_hv, deterministic=not train)(v)
         qr = jnp.dot(q, wq.astype(self.dtype), preferred_element_type=self.dtype)
         vr = jnp.dot(v, wv.astype(self.dtype), preferred_element_type=self.dtype)
+        if self.core_bias:
+            bq = self.param("b_core_q", nn.initializers.zeros, (self.R * self.dim_mm,))
+            bv = self.param("b_core_v", nn.initializers.zeros, (self.R * self.dim_mm,))
+            qr = qr + bq.astype(self.dtype)
+            vr = vr + bv.astype(self.dtype)
         qr = _ACT[self.activation_hq](qr).reshape(q.shape[:-1] + (self.R, self.dim_mm))
         vr = _ACT[self.activation_hv](vr).reshape(v.shape[:-1] + (self.R, self.dim_mm))
         return jnp.tanh((qr * vr).sum(axis=-2))
