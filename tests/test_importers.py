@@ -309,6 +309,90 @@ model:
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+class TMLBAtt(tnn.Module):
+    """Torch mirror of the lineage's MLBAtt (options/import_specs/mlb_att.json)."""
+
+    def __init__(self, V, E, H, dv, h_att, G, h_f, nans):
+        super().__init__()
+        self.seq2vec = tnn.Module()
+        self.seq2vec.embedding = tnn.Embedding(V, E)
+        self.seq2vec.rnn = tnn.LSTM(E, H, batch_first=True)
+        self.conv_v_att = tnn.Conv2d(dv, h_att, 1)
+        self.linear_q_att = tnn.Linear(H, h_att)
+        self.conv_att = tnn.Conv2d(h_att, G, 1)
+        self.list_linear_v_fusion = tnn.ModuleList(
+            [tnn.Linear(dv, h_f // G) for _ in range(G)])
+        self.linear_q_fusion = tnn.Linear(H, h_f)
+        self.linear_classif = tnn.Linear(h_f, nans)
+        self.G = G
+
+    def forward(self, v, tokens):
+        out, _ = self.seq2vec.rnn(self.seq2vec.embedding(tokens))
+        q = out[:, -1]
+        qa = torch.tanh(self.linear_q_att(q))
+        va = torch.tanh(
+            F.linear(v, self.conv_v_att.weight[:, :, 0, 0], self.conv_v_att.bias))
+        joint = qa[:, None, :] * va
+        logits = F.linear(joint, self.conv_att.weight[:, :, 0, 0], self.conv_att.bias)
+        glimpses = [
+            (F.softmax(logits[:, :, g], dim=1).unsqueeze(2) * v).sum(dim=1)
+            for g in range(self.G)
+        ]
+        x_v = torch.cat(
+            [torch.tanh(lin(g_v)) for lin, g_v in zip(self.list_linear_v_fusion, glimpses)],
+            dim=1,
+        )
+        x_q = torch.tanh(self.linear_q_fusion(q))
+        return self.linear_classif(x_v * x_q)
+
+
+def test_full_mlb_att_checkpoint_import_matches_torch(tmp_path):
+    from tools.import_torch import main as cli
+    from vqa_tpu.cli.train import _graft_npz
+    from vqa_tpu.config import load_options
+    from vqa_tpu.models import factory as models_factory
+
+    V, E, H, dv, Rg, T = 17, 5, 7, 9, 4, 6
+    h_att, G, h_f, nans = 10, 2, 8, 12
+    torch.manual_seed(1)
+    tmodel = TMLBAtt(V, E, H, dv, h_att, G, h_f, nans)
+    tmodel.eval()
+    ckpt = tmp_path / "mlb.pth"
+    torch.save(tmodel.state_dict(), ckpt)
+
+    yaml = tmp_path / "opt.yaml"
+    yaml.write_text(f"""
+model:
+  arch: MLBAtt
+  seq2vec: {{arch: lstm, emb_size: {E}, hidden_size: {H}}}
+  attention: {{nb_glimpses: {G}, dim_h: {h_att}}}
+  fusion: {{arch: mlb, dim_h: {h_f}}}
+""")
+    out = tmp_path / "params.npz"
+    assert cli([
+        str(ckpt), "--kind", "model", "--path_opt", str(yaml),
+        "--num_words", str(V), "--num_answers", str(nans),
+        "--regions", str(Rg), "--feature_dim", str(dv), "--out", str(out),
+    ]) == 0
+
+    opt = load_options(str(yaml))
+    model = models_factory(opt.model, V, nans)
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((3, Rg, dv)).astype(np.float32)
+    tokens = rng.integers(1, V, (3, T)).astype(np.int32)
+    lengths = np.full(3, T, np.int32)
+    params = model.init(
+        jax.random.key(0), jnp.asarray(v), jnp.asarray(tokens), jnp.asarray(lengths)
+    )["params"]
+    _graft_npz(np.load(out), params, "pretrained_params")
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(v), jnp.asarray(tokens), jnp.asarray(lengths)
+    ))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(v), torch.from_numpy(tokens).long()).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_pretrained_encoder_hook(tmp_path):
     """cli.train.init_params grafts a converted encoder npz into the model
     params (model.seq2vec.pretrained_encoder)."""
