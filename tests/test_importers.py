@@ -393,6 +393,76 @@ model:
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+def test_full_mutan_noatt_checkpoint_import_matches_torch(tmp_path):
+    """NoAtt family spec (global pooled feature, Tucker fusion with biases)."""
+    from tools.import_torch import main as cli
+    from vqa_tpu.cli.train import _graft_npz
+    from vqa_tpu.config import load_options
+    from vqa_tpu.models import factory as models_factory
+
+    V, E, H, dv, T = 15, 4, 6, 8, 5
+    hq, hv, M, R, nans = 5, 7, 9, 2, 11
+    torch.manual_seed(2)
+
+    class TMutanNoAtt(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.seq2vec = tnn.Module()
+            self.seq2vec.embedding = tnn.Embedding(V, E)
+            self.seq2vec.rnn = tnn.LSTM(E, H, batch_first=True)
+            self.linear_q_fusion = tnn.Linear(H, hq)
+            self.linear_v_fusion = tnn.Linear(dv, hv)
+            self.fusion = tnn.Module()
+            self.fusion.list_linear_hq = tnn.ModuleList(
+                [tnn.Linear(hq, M) for _ in range(R)])
+            self.fusion.list_linear_hv = tnn.ModuleList(
+                [tnn.Linear(hv, M) for _ in range(R)])
+            self.linear_classif = tnn.Linear(M, nans)
+
+        def forward(self, v, tokens):
+            out, _ = self.seq2vec.rnn(self.seq2vec.embedding(tokens))
+            q = torch.tanh(self.linear_q_fusion(out[:, -1]))
+            x_v = torch.tanh(self.linear_v_fusion(v))
+            z = TMutanAtt._tucker(self.fusion, q, x_v)
+            return self.linear_classif(z)
+
+    tmodel = TMutanNoAtt()
+    tmodel.eval()
+    ckpt = tmp_path / "noatt.pth"
+    torch.save(tmodel.state_dict(), ckpt)
+
+    yaml = tmp_path / "opt.yaml"
+    yaml.write_text(f"""
+model:
+  arch: MutanNoAtt
+  seq2vec: {{arch: lstm, emb_size: {E}, hidden_size: {H}}}
+  fusion: {{arch: mutan, dim_hq: {hq}, dim_hv: {hv}, dim_mm: {M}, R: {R}}}
+""")
+    out = tmp_path / "params.npz"
+    assert cli([
+        str(ckpt), "--kind", "model", "--path_opt", str(yaml),
+        "--num_words", str(V), "--num_answers", str(nans),
+        "--regions", "3", "--feature_dim", str(dv), "--out", str(out),
+    ]) == 0
+
+    opt = load_options(str(yaml))
+    model = models_factory(opt.model, V, nans)
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((2, dv)).astype(np.float32)  # pooled global feature
+    tokens = rng.integers(1, V, (2, T)).astype(np.int32)
+    lengths = np.full(2, T, np.int32)
+    params = model.init(
+        jax.random.key(0), jnp.asarray(v), jnp.asarray(tokens), jnp.asarray(lengths)
+    )["params"]
+    _graft_npz(np.load(out), params, "pretrained_params")
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(v), jnp.asarray(tokens), jnp.asarray(lengths)
+    ))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(v), torch.from_numpy(tokens).long()).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_pretrained_encoder_hook(tmp_path):
     """cli.train.init_params grafts a converted encoder npz into the model
     params (model.seq2vec.pretrained_encoder)."""

@@ -121,7 +121,10 @@ def main(argv=None) -> int:
         spec_path = args.spec
         if spec_path is None:
             repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            name = {"MutanAtt": "mutan_att", "MLBAtt": "mlb_att"}.get(opt.model.arch)
+            name = {
+                "MutanAtt": "mutan_att", "MLBAtt": "mlb_att",
+                "MutanNoAtt": "mutan_noatt", "MLBNoAtt": "mlb_noatt",
+            }.get(opt.model.arch)
             if name is None:
                 p.error(f"no default spec for arch {opt.model.arch!r}; pass --spec")
             spec_path = os.path.join(repo, "options/import_specs", f"{name}.json")
