@@ -141,6 +141,71 @@ def test_seq_encoder_import_matches_torch(cell):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_skipthoughts_theano_import_matches_kiros_equations():
+    """uni_skip.npz (theano layout) -> our GRULayer. The oracle restates the
+    original skip-thoughts gru_layer in numpy: r,z gates packed in W/U/b
+    (slice 0 = r, slice 1 = u), candidate tanh(x@Wx + bx + r*(h@Ux)) with no
+    hidden bias, carry u*h + (1-u)*n."""
+    E, H, T, B, V = 5, 6, 7, 3, 12
+    rng = np.random.default_rng(11)
+    theano = {
+        "encoder_W": rng.standard_normal((E, 2 * H)).astype(np.float32) * 0.3,
+        "encoder_b": rng.standard_normal(2 * H).astype(np.float32) * 0.1,
+        "encoder_U": rng.standard_normal((H, 2 * H)).astype(np.float32) * 0.3,
+        "encoder_Wx": rng.standard_normal((E, H)).astype(np.float32) * 0.3,
+        "encoder_bx": rng.standard_normal(H).astype(np.float32) * 0.1,
+        "encoder_Ux": rng.standard_normal((H, H)).astype(np.float32) * 0.3,
+    }
+    converted = importers.skipthoughts_from_theano(theano)
+
+    tokens = rng.integers(1, V, (B, T)).astype(np.int32)
+    lengths = np.full(B, T, np.int32)
+    emb_table = rng.standard_normal((V, E)).astype(np.float32)
+
+    enc = SeqEncoder(vocab_size=V, emb_size=E, hidden_size=H, cell="gru")
+    params = enc.init(jax.random.key(0), jnp.asarray(tokens), jnp.asarray(lengths))
+    params["params"]["gru_0"] = jax.tree.map(jnp.asarray, converted["gru_0"])
+    params["params"]["embed"]["embedding"] = jnp.asarray(emb_table)
+    ours = np.asarray(enc.apply(params, jnp.asarray(tokens), jnp.asarray(lengths)))
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    x = emb_table[tokens]                                   # [B, T, E]
+    below = x @ theano["encoder_W"] + theano["encoder_b"]   # [B, T, 2H]
+    belowx = x @ theano["encoder_Wx"] + theano["encoder_bx"]
+    h = np.zeros((B, H), np.float32)
+    for t in range(T):
+        preact = h @ theano["encoder_U"] + below[:, t]
+        r, u = sig(preact[:, :H]), sig(preact[:, H:])
+        n = np.tanh((h @ theano["encoder_Ux"]) * r + belowx[:, t])
+        h = u * h + (1.0 - u) * n
+    np.testing.assert_allclose(ours, h, rtol=1e-4, atol=1e-5)
+
+
+def test_skipthoughts_cli(tmp_path):
+    E, H = 4, 5
+    rng = np.random.default_rng(13)
+    np.savez(
+        tmp_path / "uni_skip.npz",
+        encoder_W=rng.standard_normal((E, 2 * H)).astype(np.float32),
+        encoder_b=np.zeros(2 * H, np.float32),
+        encoder_U=rng.standard_normal((H, 2 * H)).astype(np.float32),
+        encoder_Wx=rng.standard_normal((E, H)).astype(np.float32),
+        encoder_bx=np.zeros(H, np.float32),
+        encoder_Ux=rng.standard_normal((H, H)).astype(np.float32),
+        Wemb=rng.standard_normal((9, E)).astype(np.float32),
+    )
+    from tools.import_torch import main as cli
+
+    out = tmp_path / "st.npz"
+    assert cli([str(tmp_path / "uni_skip.npz"), "--kind", "skipthoughts",
+                "--out", str(out)]) == 0
+    loaded = np.load(out)
+    assert set(loaded.files) == {"gru_0/wx", "gru_0/wh", "gru_0/bx", "gru_0/bh"}
+    assert loaded["gru_0/wx"].shape == (E, 3 * H)
+
+
 def test_align_embedding_to_vocab():
     table = np.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
     source = ["cat", "dog", "fish"]

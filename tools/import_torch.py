@@ -9,6 +9,9 @@
   python tools/import_torch.py skipthoughts.pth --kind seq2vec --cell gru \
       --out encoder.npz
 
+  # the PUBLISHED theano skip-thoughts weights (Kiros et al. uni_skip.npz)
+  python tools/import_torch.py uni_skip.npz --kind skipthoughts --out enc.npz
+
   # pretrained word embeddings aligned to a run's vocab ->
   # model.seq2vec.pretrained_emb npz
   python tools/import_torch.py skipthoughts.pth --kind embedding \
@@ -62,7 +65,7 @@ def main(argv=None) -> int:
     p.add_argument("checkpoint", help=".pth/.pt/.npz with torch weights")
     p.add_argument("--kind", required=True,
                    choices=["resnet50", "resnet101", "resnet152",
-                            "seq2vec", "embedding", "model"])
+                            "seq2vec", "skipthoughts", "embedding", "model"])
     p.add_argument("--out", required=True, help="output .npz")
     p.add_argument("--path_opt", default=None,
                    help="model: YAML config of the target model")
@@ -150,6 +153,12 @@ def main(argv=None) -> int:
         n = sum(v.size for v in importers.flatten_tree(tree).values())
         print(f"wrote {args.out}: {args.kind} params+batch_stats "
               f"({n/1e6:.1f}M values) — use with extract.py --params")
+    elif args.kind == "skipthoughts":
+        tree = importers.skipthoughts_from_theano(sd)
+        importers.save_tree_npz(args.out, tree)
+        print(f"wrote {args.out}: skip-thoughts GRU encoder params from the "
+              "theano npz (model.seq2vec.pretrained_encoder; align word "
+              "embeddings separately with --kind embedding)")
     elif args.kind == "seq2vec":
         tree = importers.seq_encoder_from_torch(
             sd, args.cell, args.num_layers,

@@ -199,6 +199,38 @@ def align_embedding_to_vocab(
     return rows, n_oov
 
 
+def skipthoughts_from_theano(npz: Mapping[str, Array]) -> Tree:
+    """The PUBLISHED skip-thoughts weights (Kiros et al.'s ``uni_skip.npz``,
+    theano layout) -> SeqEncoder GRU params (C8's pretrained path).
+
+    The original gru_layer packs the r,z gates in ``encoder_W/U/b`` (slice 0
+    = r, slice 1 = z/u) and the candidate in ``encoder_Wx/Ux/bx``; the
+    candidate applies r AFTER the hidden matmul (tanh(xx + r*(h@Ux))) with
+    no hidden-side bias, and the carry mixes as u*h + (1-u)*n — exactly our
+    GRULayer with wx=[W|Wx], wh=[U|Ux], bx=[b|bx], bh=0 (torch r,z,n order).
+    Theano stores weights [in, out], so no transpose.
+
+    The ``Wemb`` training-vocab embedding is intentionally NOT emitted: runs
+    use the expanded utable/btable + dictionary.txt via
+    ``tools/import_torch.py --kind embedding`` (vocab re-alignment).
+    """
+    W, U, b = (_require(npz, f"encoder_{k}") for k in ("W", "U", "b"))
+    Wx, Ux, bx = (_require(npz, f"encoder_{k}") for k in ("Wx", "Ux", "bx"))
+    H = Ux.shape[0]
+    if W.shape[1] != 2 * H or U.shape[0] != H:
+        raise ValueError(
+            f"inconsistent skip-thoughts dims: W {W.shape}, U {U.shape}, Ux {Ux.shape}"
+        )
+    return {
+        "gru_0": {
+            "wx": np.concatenate([W, Wx], axis=1),
+            "wh": np.concatenate([U, Ux], axis=1),
+            "bx": np.concatenate([b, bx]),
+            "bh": np.zeros(3 * H, b.dtype),
+        }
+    }
+
+
 # -------------------------------------------- full-model (C20 payload) import
 #
 # The reference lineage checkpoints whole models with ``torch.save`` (SURVEY
