@@ -115,3 +115,20 @@ def test_cor_visual_actually_used():
     a = model.apply(params, visual, question, lengths)
     b = model.apply(params, visual * 0.3 + 1.0, question, lengths)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cor_attention_map():
+    """CoR exposes per-step object attention (the lineage's qualitative
+    visualization; cli/visu.py consumes the same [B, N, G] contract)."""
+    rng = np.random.default_rng(3)
+    visual, question, lengths = _inputs(rng)
+    steps = 3
+    model = factory(_cor_opt(steps), VOCAB, NANS)
+    params = model.init(jax.random.key(0), visual, question, lengths)
+    logits, alpha = model.apply(
+        params, visual, question, lengths, return_attention=True
+    )
+    assert alpha.shape == (B, R, steps)
+    np.testing.assert_allclose(np.asarray(alpha).sum(axis=1), 1.0, rtol=1e-5)
+    plain = model.apply(params, visual, question, lengths)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(plain), rtol=1e-6)

@@ -17,8 +17,10 @@ def test_cor_step_factorized_logits_match_pairwise_loop():
     q = jnp.asarray(rng.standard_normal((B, DQ)), jnp.float32)
     step = CoRStep(dim_h=D, dropout=0.0)
     params = step.init(jax.random.key(0), (objects, q), None)
-    (new_objects, _), decision = step.apply(params, (objects, q), None)
+    (new_objects, _), (decision, beta) = step.apply(params, (objects, q), None)
     assert new_objects.shape == (B, N, D) and decision.shape == (B, D)
+    assert beta.shape == (B, N)
+    np.testing.assert_allclose(np.asarray(beta).sum(-1), 1.0, rtol=1e-5)
 
     # oracle: explicit pairwise loop over (i, j) relations
     p = jax.tree.map(np.asarray, params["params"])

@@ -76,7 +76,9 @@ class CoRStep(nn.Module):
         beta = jax.nn.softmax(pool_logits, axis=1)               # [B,N,1]
         pooled = (beta * new_objects).sum(axis=1)                # [B,D]
         decision = jnp.tanh(nn.Dense(d, dtype=self.dtype, name="decision")(pooled)) * g
-        return (new_objects, q), decision
+        # beta rides out of the scan as the per-step object-attention map
+        # (the CoR lineage's qualitative visualization; cli/visu.py C23)
+        return (new_objects, q), (decision, beta[..., 0])
 
 
 class CoRModel(nn.Module):
@@ -96,6 +98,7 @@ class CoRModel(nn.Module):
         question: jax.Array,
         lengths: Optional[jax.Array] = None,
         train: bool = False,
+        return_attention: bool = False,
     ):
         v = visual.astype(self.dtype)
         if self.l2norm_visual:
@@ -114,14 +117,20 @@ class CoRModel(nn.Module):
             out_axes=0,
             length=self.steps,
         )(self.dim_h, self.dropout, self.dtype, train, name="chain")
-        _, decisions = scan((objects, q), None)                    # [T, B, D]
+        _, (decisions, betas) = scan((objects, q), None)           # [T,B,D], [T,B,N]
 
         # gated sum over reasoning steps (decision gates from the question)
         gates = jax.nn.softmax(
             nn.Dense(self.steps, dtype=self.dtype, name="step_gates")(q), axis=-1
         )                                                          # [B, T]
         decision = jnp.einsum("bt,tbd->bd", gates, decisions)
-        return self.classifier(decision, train=train)
+        logits = self.classifier(decision, train=train)
+        if return_attention:
+            # per-step object attention, steps on the glimpse axis — the
+            # same [B, N, G] contract AttModel's alpha uses (XLA drops the
+            # stack when nobody consumes it)
+            return logits, jnp.transpose(betas, (1, 2, 0))
+        return logits
 
     @classmethod
     def build(cls, opt: ModelOptions, num_words: int, num_answers: int, dtype):
