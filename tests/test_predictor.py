@@ -46,3 +46,32 @@ def test_predictor_answers(run):
     assert [a for a, _ in batched[0]] == [a for a, _ in answers]
     for (_, p1), (_, p2) in zip(batched[0], answers):
         assert abs(p1 - p2) < 1e-5
+
+
+def test_predictor_serves_imported_checkpoint(run, tmp_path):
+    """resume=None serves init params — i.e. a converted reference checkpoint
+    grafted via model.pretrained_params, no Orbax run dir needed."""
+    import yaml
+
+    from vqa_tpu.importers import save_tree_npz
+
+    d, logs, overrides = run
+    # harvest the trained run's params as the stand-in "converted" npz
+    trained = Predictor.from_run(logs, resume="best")
+    npz = tmp_path / "imported.npz"
+    save_tree_npz(str(npz), trained.params)
+
+    # a fresh "run dir" holding only an options.yaml that points at the npz
+    serve_dir = tmp_path / "serve"
+    serve_dir.mkdir()
+    with open(os.path.join(logs, "options.yaml")) as f:
+        opts = yaml.safe_load(f)
+    opts.setdefault("model", {})["pretrained_params"] = str(npz)
+    with open(serve_dir / "options.yaml", "w") as f:
+        yaml.safe_dump(opts, f)
+
+    p = Predictor.from_run(str(serve_dir), resume=None)
+    image = p.dataset.split.image_names[0]
+    assert p.answer("What color is the cat?", image, topk=3) == trained.answer(
+        "What color is the cat?", image, topk=3
+    )

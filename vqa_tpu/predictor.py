@@ -44,11 +44,15 @@ class Predictor:
         cls,
         dir_logs: str,
         path_opt: Optional[str] = None,
-        resume: str = "best",
+        resume: Optional[str] = "best",
         overrides: Optional[List[str]] = None,
     ) -> "Predictor":
         """Load from a run dir. With no ``path_opt``, the run's own provenance
-        dump (options.yaml, written by the CLI) reproduces the exact config."""
+        dump (options.yaml, written by the CLI) reproduces the exact config.
+        ``resume=None`` skips the checkpoint restore and serves the init
+        params — the path for a converted reference checkpoint loaded via
+        ``model.pretrained_params`` (tools/import_torch.py --kind model),
+        which has no Orbax run behind it."""
         import os
 
         if path_opt is None:
@@ -61,10 +65,12 @@ class Predictor:
         from vqa_tpu.cli.train import init_params
 
         params = init_params(model, val_set, opt)
-        state = create_state(model, params, optim_factory(opt.optim, 1))
-        ckpt = CheckpointManager(os.path.join(dir_logs, "ckpt"))
-        state, _ = ckpt.restore(state, resume)
-        return cls(model, state.params, val_set, opt)
+        if resume is not None:
+            state = create_state(model, params, optim_factory(opt.optim, 1))
+            ckpt = CheckpointManager(os.path.join(dir_logs, "ckpt"))
+            state, _ = ckpt.restore(state, resume)
+            params = state.params
+        return cls(model, params, val_set, opt)
 
     def encode_questions(self, questions: Sequence[str]):
         rows, lengths = [], []
