@@ -103,8 +103,14 @@ def main() -> None:
         )
     # ladder matched to the VQA length distribution: most batches ride the
     # 7-bucket (see engine.eval_buckets; with uniform lengths 4-way measured
-    # neutral, with real lengths the short bucket is the common case)
-    buckets = (7, 13, SEQ) if use_buckets else (SEQ,)
+    # neutral, with real lengths the short bucket is the common case).
+    # BENCH_BUCKET_LIST=5,7,13 overrides for ladder experiments.
+    if os.environ.get("BENCH_BUCKET_LIST"):
+        buckets = tuple(
+            sorted(int(b) for b in os.environ["BENCH_BUCKET_LIST"].split(","))
+        ) + (SEQ,)
+    else:
+        buckets = (7, 13, SEQ) if use_buckets else (SEQ,)
 
     def batches():
         for i in range(n_batches):
