@@ -206,6 +206,26 @@ def test_skipthoughts_cli(tmp_path):
     assert loaded["gru_0/wx"].shape == (E, 3 * H)
 
 
+def test_two_layer_lstm_encoder_import():
+    B, T, E, H, VOCAB = 2, 5, 4, 6, 14
+    emb = tnn.Embedding(VOCAB, E)
+    rnn = tnn.LSTM(E, H, num_layers=2, batch_first=True)
+    sd = {f"embedding.{k}": v.numpy() for k, v in emb.state_dict().items()}
+    sd.update({f"rnn.{k}": v.numpy() for k, v in rnn.state_dict().items()})
+    params = importers.seq_encoder_from_torch(sd, "lstm", num_layers=2)
+    enc = SeqEncoder(vocab_size=VOCAB, emb_size=E, hidden_size=H,
+                     num_layers=2, cell="lstm")
+    tokens = np.random.default_rng(4).integers(1, VOCAB, (B, T)).astype(np.int32)
+    lengths = np.full(B, T, np.int32)
+    ours = np.asarray(
+        enc.apply({"params": params}, jnp.asarray(tokens), jnp.asarray(lengths))
+    )
+    with torch.no_grad():
+        out, _ = rnn(emb(torch.from_numpy(tokens).long()))
+        theirs = out[:, -1].numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
 def test_align_embedding_to_vocab():
     table = np.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
     source = ["cat", "dog", "fish"]
