@@ -106,9 +106,11 @@ def main() -> None:
     # neutral, with real lengths the short bucket is the common case).
     # BENCH_BUCKET_LIST=5,7,13 overrides for ladder experiments.
     if os.environ.get("BENCH_BUCKET_LIST"):
-        buckets = tuple(
-            sorted(int(b) for b in os.environ["BENCH_BUCKET_LIST"].split(","))
-        ) + (SEQ,)
+        rungs = {int(b) for b in os.environ["BENCH_BUCKET_LIST"].split(",")}
+        bad = {b for b in rungs if not 1 <= b <= SEQ}
+        if bad:  # a rung beyond SEQ would silently clamp -> wrong-ADR hazard
+            raise SystemExit(f"BENCH_BUCKET_LIST rungs out of range 1..{SEQ}: {sorted(bad)}")
+        buckets = tuple(sorted(rungs | {SEQ}))
     else:
         buckets = (7, 13, SEQ) if use_buckets else (SEQ,)
 

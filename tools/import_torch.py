@@ -170,7 +170,15 @@ def main(argv=None) -> int:
     else:  # embedding
         if not (args.source_words and args.vocab):
             p.error("--kind embedding needs --source_words and --vocab")
-        table = sd[args.embedding_key] if args.embedding_key in sd else sd[next(iter(sd))]
+        if args.embedding_key in sd:
+            table = sd[args.embedding_key]
+        elif len(sd) == 1:  # bare .npy / single-array npz: unambiguous
+            table = next(iter(sd.values()))
+        else:
+            raise SystemExit(
+                f"--embedding_key {args.embedding_key!r} not in the checkpoint; "
+                f"available keys: {sorted(sd)}"
+            )
         with open(args.source_words) as f:
             source_words = [line.rstrip("\n") for line in f if line.rstrip("\n")]
         if len(source_words) != table.shape[0]:

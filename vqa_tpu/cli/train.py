@@ -86,34 +86,33 @@ def options_from_args(args) -> Options:
     return load_options(args.path_opt, overrides)
 
 
-def init_params(model, dataset, opt: Options):
-    """Initialize with tiny sample shapes (shape-polymorphic over batch)."""
+def init_params(model, dataset, opt: Options, load_pretrained: bool = True):
+    """Initialize with tiny sample shapes (shape-polymorphic over batch).
+
+    ``load_pretrained=False`` skips the pretrained-weight hooks — the resume
+    path, where an Orbax restore overwrites every leaf anyway (grafting there
+    is wasted I/O and breaks resume if the npz has since moved)."""
     feat_shape = dataset.feature_shape
     visual = jnp.zeros((2,) + feat_shape, jnp.float32)
     question = jnp.zeros((2, opt.vqa.maxlength), jnp.int32)
     lengths = jnp.ones((2,), jnp.int32)
     variables = model.init(jax.random.key(opt.engine.seed), visual, question, lengths)
     params = variables["params"]
+    if not load_pretrained:
+        return params
 
-    # optional pretrained word embeddings (e.g. locally converted skip-thoughts
-    # / GloVe table; no network here — SURVEY.md section 7 "Hard parts").
-    # npz with 'embedding' [num_words, emb_size], row-aligned to the run vocab.
+    # optional pretrained hooks, all '/'-flattened npz grafts with per-leaf
+    # shape validation (_graft_npz):
+    #   seq2vec.pretrained_emb      'embedding' table row-aligned to the run
+    #                               vocab (converted skip-thoughts / GloVe)
+    #   seq2vec.pretrained_encoder  full encoder tree (tools/import_torch.py
+    #                               --kind seq2vec / skipthoughts)
+    #   model.pretrained_params     whole converted reference checkpoint
+    #                               (--kind model)
     emb_path = (opt.model.seq2vec or {}).get("pretrained_emb")
     if emb_path:
-        table = np.load(emb_path)["embedding"]
-        current = params["encoder"]["embed"]["embedding"]
-        if table.shape != current.shape:
-            raise ValueError(
-                f"pretrained_emb shape {table.shape} != vocab embedding "
-                f"{current.shape}; regenerate the table for this vocab"
-            )
-        params["encoder"]["embed"]["embedding"] = jnp.asarray(table, current.dtype)
+        _graft_npz(np.load(emb_path), params["encoder"]["embed"], "pretrained_emb")
         print(f"loaded pretrained embeddings from {emb_path}", flush=True)
-
-    # optional full pretrained question encoder (embedding + recurrent cell,
-    # e.g. a converted torch skip-thoughts port: tools/import_torch.py
-    # --kind seq2vec) and/or a full converted reference checkpoint
-    # (--kind model). Leaves merge by path with shape validation.
     enc_path = (opt.model.seq2vec or {}).get("pretrained_encoder")
     if enc_path:
         _graft_npz(np.load(enc_path), params["encoder"], "pretrained_encoder")
@@ -181,7 +180,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     mesh = make_mesh(model_parallel=opt.engine.model_parallel)
     check_batch_divisible(opt.optim.batch_size, mesh)
     model = models_lib.factory(opt.model, num_words, num_answers, dtype=opt.engine.dtype)
-    params = init_params(model, val_set, opt)
+    params = init_params(model, val_set, opt, load_pretrained=args.resume is None)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model {opt.model.arch}: {n_params/1e6:.2f}M params, "
           f"{len(jax.devices())} device(s)", flush=True)

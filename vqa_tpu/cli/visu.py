@@ -51,7 +51,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 {"params": predictor.params}, jnp.asarray(visual), q, lengths,
                 return_attention=True,
             )
-        except TypeError:  # archs without an attention map (noatt, CoR)
+        except TypeError:  # archs without an attention map (the noatt family;
+            # att/MFB expose glimpse maps, CoR per-step object maps)
             print("arch has no attention map; skipping --out")
             return 0
 

@@ -374,8 +374,8 @@ def model_from_torch(
                 )
             node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
             filled.append("/".join(path + [leaf]))
-    unfilled = [k for k in flatten_tree(tree) if k not in set(filled)]
-    return tree, {"filled": sorted(filled), "unfilled": sorted(unfilled)}
+    unfilled = sorted(set(flatten_tree(tree)) - set(filled))
+    return tree, {"filled": sorted(filled), "unfilled": unfilled}
 
 
 def jax_tree_copy(tree: Tree) -> Tree:

@@ -64,7 +64,7 @@ class Predictor:
         )
         from vqa_tpu.cli.train import init_params
 
-        params = init_params(model, val_set, opt)
+        params = init_params(model, val_set, opt, load_pretrained=resume is None)
         if resume is not None:
             state = create_state(model, params, optim_factory(opt.optim, 1))
             ckpt = CheckpointManager(os.path.join(dir_logs, "ckpt"))
