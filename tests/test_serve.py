@@ -1,0 +1,97 @@
+"""HTTP serving CLI (vqa_tpu/cli/serve.py) over a trained fixture run."""
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from vqa_tpu.cli.serve import AnswerService, build_server
+from vqa_tpu.cli.train import main as train_main
+from vqa_tpu.datasets.fixtures import generate
+from vqa_tpu.predictor import Predictor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("servefix"))
+    generate(d, n_images=10, n_questions=48, seed=5)
+    logs = os.path.join(d, "logs")
+    rc = train_main([
+        "--path_opt", os.path.join(REPO, "options/vqa2/concat_att.yaml"),
+        "--dir_logs", logs, "--epochs", "1", "--batch_size", "16",
+        "--print_freq", "0",
+        "--opt", f"vqa.dir={d}/vqa2", "--opt", f"coco.dir={d}/coco",
+        "--opt", "vqa.nans=20",
+        "--opt", "model.seq2vec.emb_size=12", "--opt", "model.seq2vec.hidden_size=16",
+        "--opt", "model.attention.dim_h=12", "--opt", "model.classif.dim_h=12",
+    ])
+    assert rc == 0
+    predictor = Predictor.from_run(logs, resume="best")
+    service = AnswerService(predictor, max_batch=4)
+    service.warmup()
+    server = build_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield predictor, service, f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:  # non-2xx still carries a JSON body
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(served):
+    _, _, base = served
+    with urllib.request.urlopen(base + "/healthz") as resp:
+        assert json.loads(resp.read()) == {"ok": True}
+
+
+def test_answer_matches_predictor(served):
+    predictor, _, base = served
+    image = predictor.dataset.split.image_names[0]
+    status, body = _post(base + "/answer",
+                         {"question": "What color is the cat?", "image": image,
+                          "topk": 3})
+    assert status == 200
+    direct = predictor.answer("What color is the cat?", image, topk=3)
+    assert [a for a, _ in body["answers"]] == [a for a, _ in direct]
+    for (_, p1), (_, p2) in zip(body["answers"], direct):
+        assert abs(p1 - p2) < 1e-4
+
+
+def test_batch_chunks_past_max_batch(served):
+    predictor, service, base = served
+    images = predictor.dataset.split.image_names[:3]
+    questions = [f"Is object {i} red?" for i in range(9)]
+    status, body = _post(base + "/batch",
+                         {"questions": questions,
+                          "images": [images[i % 3] for i in range(9)]})
+    assert status == 200
+    assert len(body["answers"]) == 9  # 9 > max_batch 4: chunked + padded
+    # same question+image -> same answer regardless of chunk position
+    assert body["answers"][0] != [] and body["answers"][3] != []
+
+
+def test_bad_requests(served):
+    _, _, base = served
+    status, body = _post(base + "/answer", {"question": "missing image"})
+    assert status == 400 and "image" in body["error"]
+    status, body = _post(base + "/batch",
+                         {"questions": ["a", "b"], "images": ["only-one"]})
+    assert status == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(base + "/nope")
+    assert e.value.code == 404

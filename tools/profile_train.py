@@ -1,0 +1,151 @@
+"""Ablation profile of the flagship train step (where wall-clock lives —
+SURVEY.md C16; VERDICT r1 item 4's "written compute-bound analysis" as a
+per-round artifact instead of git-history notes).
+
+Times four jitted variants of the MutanAtt step at flagship dims and derives
+the component breakdown by subtraction:
+
+  fwd          loss forward only (train=True, dropout on)
+  grads        value_and_grad, optimizer skipped     -> bwd  = grads - fwd
+  grads_femb   same but embedding grads stopped      -> embedding-grad
+                                                        scatter = grads - grads_femb
+  full         the real step (grads + adam update)   -> adam = full - grads
+
+Timing is pipelined best-of-2 (dispatch STEPS, read back once) — the
+tunneled device makes per-dispatch syncs latency-bound and single passes
+noisy (perf ledger). Writes PROFILE_r{NN}.json at the repo root when
+PROFILE_OUT is set, else prints the JSON line.
+
+Usage: python tools/profile_train.py   (BENCH_BATCH/BENCH_STEPS as in
+tools/bench_train.py; PROFILE_OUT=PROFILE_r02.json to write the artifact)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+STEPS = int(os.environ.get("BENCH_STEPS", 20))
+NUM_WORDS, NUM_ANSWERS = 12_000, 2_000
+SEQ, REGIONS, DIM = 26, 36, 2048
+
+
+def main() -> None:
+    from vqa_tpu.config import load_options
+    from vqa_tpu.engine.optim import criterion_factory, factory as optim_factory
+    from vqa_tpu.engine.steps import create_state
+    from vqa_tpu.models import factory
+    from vqa_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_RNG", "rbg"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    opt = load_options(os.path.join(repo, "options/vqa2/mutan_att.yaml"))
+    model = factory(opt.model, NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
+    criterion = criterion_factory()
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "visual": jnp.asarray(rng.standard_normal((BATCH, REGIONS, DIM)), jnp.bfloat16),
+        "question": jnp.asarray(rng.integers(1, NUM_WORDS, (BATCH, SEQ)), jnp.int32),
+        "length": jnp.asarray(rng.integers(5, SEQ + 1, BATCH), jnp.int32),
+        "answer": jnp.asarray(rng.integers(0, NUM_ANSWERS, BATCH), jnp.int32),
+    }
+    params = model.init(
+        jax.random.key(0), batch["visual"][:2], batch["question"][:2],
+        batch["length"][:2],
+    )["params"]
+    state0 = create_state(model, params, optim_factory(opt.optim, 1))
+    key = jax.random.key(0)
+
+    def loss_fn(params, stop_emb=False):
+        if stop_emb:
+            params = dict(params)
+            params["encoder"] = dict(params["encoder"])
+            params["encoder"]["embed"] = jax.tree.map(
+                jax.lax.stop_gradient, params["encoder"]["embed"]
+            )
+        logits = state0.apply_fn(
+            {"params": params}, batch["visual"], batch["question"],
+            batch["length"], train=True,
+            rngs={"dropout": jax.random.fold_in(key, 0)},
+        )
+        return criterion(logits, batch["answer"]).mean()
+
+    @jax.jit
+    def fwd(carry):
+        return carry + loss_fn(state0.params)
+
+    @jax.jit
+    def grads(carry):
+        g = jax.grad(loss_fn)(state0.params)
+        return carry + jax.tree.leaves(g)[0].ravel()[0].astype(jnp.float32)
+
+    @jax.jit
+    def grads_femb(carry):
+        g = jax.grad(lambda p: loss_fn(p, stop_emb=True))(state0.params)
+        return carry + jax.tree.leaves(g)[0].ravel()[0].astype(jnp.float32)
+
+    @jax.jit
+    def full(state):
+        g = jax.grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=g)
+
+    def clock(fn, init, chain=True):
+        out = fn(init)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: tunneled-device queue contamination
+            cur = out if chain else init
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                cur = fn(cur)
+            np.asarray(jax.tree.leaves(cur)[0].ravel()[0])  # honest readback
+            best = min(best, (time.perf_counter() - t0) / STEPS)
+        return best * 1e3  # ms/step
+
+    t_fwd = clock(fwd, jnp.float32(0.0))
+    t_grads = clock(grads, jnp.float32(0.0))
+    t_femb = clock(grads_femb, jnp.float32(0.0))
+    t_full = clock(full, state0)
+
+    report = {
+        "metric": "train_step_profile_mutan",
+        "batch": BATCH,
+        "seq": SEQ,
+        "ms_per_step": {
+            "fwd": round(t_fwd, 2),
+            "fwd_bwd": round(t_grads, 2),
+            "full": round(t_full, 2),
+        },
+        "derived_ms": {
+            "bwd": round(t_grads - t_fwd, 2),
+            "embedding_grad_scatter": round(t_grads - t_femb, 2),
+            "adam_update": round(t_full - t_grads, 2),
+        },
+        "derived_pct_of_full": {
+            "fwd": round(100 * t_fwd / t_full, 1),
+            "bwd": round(100 * (t_grads - t_fwd) / t_full, 1),
+            "embedding_grad_scatter": round(100 * (t_grads - t_femb) / t_full, 1),
+            "adam_update": round(100 * (t_full - t_grads) / t_full, 1),
+        },
+        "qa_per_sec_full": round(BATCH / (t_full / 1e3), 1),
+        "steps_timed": STEPS,
+    }
+    line = json.dumps(report)
+    print(line)
+    out = os.environ.get("PROFILE_OUT")
+    if out:
+        with open(os.path.join(repo, out), "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Serving CLI: an HTTP answer service over a run dir (production-side
+complement to SURVEY.md C23's demo; the Predictor API made deployable).
+
+  python -m vqa_tpu.cli.serve --dir_logs logs/vqa2/mutan_att \
+      [--resume best | --no_resume] [--host 127.0.0.1] [--port 8080] \
+      [--max_batch 64]
+
+Endpoints (JSON over POST, plus GET /healthz):
+  /answer  {"question": str, "image": str, "topk"?: int}
+           -> {"answers": [[answer, prob], ...]}
+  /batch   {"questions": [str], "images": [str], "topk"?: int}
+           -> {"answers": [[[answer, prob], ...], ...]}
+
+TPU-shape discipline: every forward pads the batch dim to --max_batch, so
+the server compiles exactly ONE program at startup (a warmup request) and
+never recompiles, whatever request sizes arrive. Requests larger than
+--max_batch are chunked. stdlib-only (ThreadingHTTPServer); device work is
+serialized under a lock — batching, not concurrency, is the throughput
+lever on one chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence, Tuple
+
+
+class AnswerService:
+    """Shape-stable batched wrapper around a Predictor."""
+
+    def __init__(self, predictor, max_batch: int = 64):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+
+    def warmup(self) -> None:
+        image = self.predictor.dataset.split.image_names[0]
+        self.answer_batch(["warmup question"], [image], topk=1)
+
+    def answer_batch(
+        self, questions: Sequence[str], images: Sequence[str], topk: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        if len(questions) != len(images):
+            raise ValueError(
+                f"{len(questions)} questions vs {len(images)} images"
+            )
+        out: List[List[Tuple[str, float]]] = []
+        with self._lock:  # one device, one queue
+            for start in range(0, len(questions), self.max_batch):
+                q = list(questions[start : start + self.max_batch])
+                im = list(images[start : start + self.max_batch])
+                n = len(q)
+                pad = self.max_batch - n  # fixed shape -> zero recompiles
+                q += [q[-1]] * pad
+                im += [im[-1]] * pad
+                out.extend(self.predictor.answer_batch(q, im, topk=topk)[:n])
+        return out
+
+
+def make_handler(service: AnswerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                topk = int(req.get("topk", 5))
+                if self.path == "/answer":
+                    answers = service.answer_batch(
+                        [req["question"]], [req["image"]], topk=topk
+                    )[0]
+                    self._send(200, {"answers": answers})
+                elif self.path == "/batch":
+                    answers = service.answer_batch(
+                        req["questions"], req["images"], topk=topk
+                    )
+                    self._send(200, {"answers": answers})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except KeyError as e:
+                self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:  # noqa: BLE001 — survive bad requests
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def build_server(service: AnswerService, host: str, port: int) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir_logs", required=True)
+    p.add_argument("--path_opt", default=None,
+                   help="defaults to the run dir's own options.yaml")
+    p.add_argument("--resume", default="best", help="best | latest | <epoch>")
+    p.add_argument("--no_resume", action="store_true",
+                   help="serve init params (a model.pretrained_params import)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=64)
+    args = p.parse_args(argv)
+
+    from vqa_tpu.predictor import Predictor
+    from vqa_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    predictor = Predictor.from_run(
+        args.dir_logs, args.path_opt,
+        resume=None if args.no_resume else args.resume,
+    )
+    service = AnswerService(predictor, max_batch=args.max_batch)
+    print("warming up (one compile at the fixed serving shape)...", flush=True)
+    service.warmup()
+    server = build_server(service, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(max_batch {args.max_batch})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
