@@ -21,6 +21,7 @@ tools/bench_train.py; PROFILE_OUT=PROFILE_r02.json to write the artifact)
 """
 
 import json
+from functools import partial
 import os
 import sys
 import time
@@ -65,7 +66,10 @@ def main() -> None:
     state0 = create_state(model, params, optim_factory(opt.optim, 1))
     key = jax.random.key(0)
 
-    def loss_fn(params, stop_emb=False):
+    # params/batch/state MUST be jit ARGUMENTS, not closures — closed-over
+    # arrays embed as HLO constants and the 56M-param graph overflows this
+    # image's remote-compile request (HTTP 413)
+    def loss_fn(params, batch, stop_emb=False):
         if stop_emb:
             params = dict(params)
             params["encoder"] = dict(params["encoder"])
@@ -80,41 +84,54 @@ def main() -> None:
         return criterion(logits, batch["answer"]).mean()
 
     @jax.jit
-    def fwd(carry):
-        return carry + loss_fn(state0.params)
+    def fwd(params, batch, carry):
+        return carry + loss_fn(params, batch)
+
+    import optax
+
+    # consume EVERY grad leaf (global_norm) — reducing to one element lets
+    # XLA dead-code-eliminate most of the backward and fakes the ablation
+    @jax.jit
+    def grads(params, batch, carry):
+        g = jax.grad(loss_fn)(params, batch)
+        return carry + optax.global_norm(g).astype(jnp.float32)
 
     @jax.jit
-    def grads(carry):
-        g = jax.grad(loss_fn)(state0.params)
-        return carry + jax.tree.leaves(g)[0].ravel()[0].astype(jnp.float32)
+    def grads_femb(params, batch, carry):
+        g = jax.grad(lambda p: loss_fn(p, batch, stop_emb=True))(params)
+        return carry + optax.global_norm(g).astype(jnp.float32)
 
-    @jax.jit
-    def grads_femb(carry):
-        g = jax.grad(lambda p: loss_fn(p, stop_emb=True))(state0.params)
-        return carry + jax.tree.leaves(g)[0].ravel()[0].astype(jnp.float32)
-
-    @jax.jit
-    def full(state):
-        g = jax.grad(loss_fn)(state.params)
+    # donated like the real engine step — undonated, the optimizer-state
+    # allocation churn dominates and misattributes ~40ms to "adam"
+    @partial(jax.jit, donate_argnums=0)
+    def full(state, batch):
+        g = jax.grad(loss_fn)(state.params, batch)
         return state.apply_gradients(grads=g)
 
-    def clock(fn, init, chain=True):
+    def clock(name, fn, init):
+        t0 = time.perf_counter()
         out = fn(init)
         jax.block_until_ready(out)
+        print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(2):  # best-of-2: tunneled-device queue contamination
-            cur = out if chain else init
+            cur = out
             t0 = time.perf_counter()
             for _ in range(STEPS):
                 cur = fn(cur)
             np.asarray(jax.tree.leaves(cur)[0].ravel()[0])  # honest readback
             best = min(best, (time.perf_counter() - t0) / STEPS)
+            out = cur  # donated fns invalidate older buffers — chain forward
+        print(f"[{name}] {best*1e3:.2f} ms/step", file=sys.stderr, flush=True)
         return best * 1e3  # ms/step
 
-    t_fwd = clock(fwd, jnp.float32(0.0))
-    t_grads = clock(grads, jnp.float32(0.0))
-    t_femb = clock(grads_femb, jnp.float32(0.0))
-    t_full = clock(full, state0)
+    t_fwd = clock("fwd", lambda c: fwd(params, batch, c), jnp.float32(0.0))
+    t_grads = clock("fwd_bwd", lambda c: grads(params, batch, c), jnp.float32(0.0))
+    t_femb = clock(
+        "fwd_bwd_frozen_emb", lambda c: grads_femb(params, batch, c), jnp.float32(0.0)
+    )
+    t_full = clock("full_step", lambda s: full(s, batch), state0)
 
     report = {
         "metric": "train_step_profile_mutan",
