@@ -194,3 +194,41 @@ def test_dispatch_falls_back_off_tpu():
     np.testing.assert_allclose(
         np.asarray(mfb_pool(z, 4)), np.asarray(mfb_pool_reference(z, 4)), rtol=1e-6
     )
+
+
+def test_lstm_bigmatmul_bwd_matches_native_ad():
+    """The hand-written big-matmul LSTM backward (ops.lstm._lstm_seq_bigmatmul,
+    the train-path option) must reproduce native scan-AD gradients exactly —
+    including masked (padded) steps and both outputs (h_last, seq)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_tpu.ops.lstm import _lstm_seq_bigmatmul, lstm_seq_reference
+
+    T, B, H, E4 = 7, 4, 5, 20
+    rng = np.random.default_rng(0)
+    xg = jnp.asarray(rng.standard_normal((T, B, E4)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((H, E4)) * 0.3, jnp.float32)
+    lengths = np.asarray([T, 4, 1, 6])
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] < lengths[None]).astype(np.float32)[..., None]
+    )
+
+    def loss(fn, xg, wh):
+        h_last, seq = fn(xg, mask, wh)
+        # exercise BOTH outputs with asymmetric weights
+        return (h_last * jnp.arange(1, H + 1)).sum() + (seq**2).sum() * 0.5
+
+    ref_val, (ref_dxg, ref_dwh) = jax.value_and_grad(
+        lambda a, w: loss(lstm_seq_reference, a, w), argnums=(0, 1)
+    )(xg, wh)
+    got_val, (got_dxg, got_dwh) = jax.value_and_grad(
+        lambda a, w: loss(_lstm_seq_bigmatmul, a, w), argnums=(0, 1)
+    )(xg, wh)
+
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dxg), np.asarray(ref_dxg),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dwh), np.asarray(ref_dwh),
+                               rtol=1e-5, atol=1e-6)

@@ -40,6 +40,9 @@ def main() -> None:
 
     enable_compile_cache()
     jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_RNG", "rbg"))
+    from vqa_tpu.ops.lstm import set_lstm_bwd
+
+    set_lstm_bwd(os.environ.get("BENCH_LSTM_BWD", "bigmatmul"))  # engine default
     arch = sys.argv[1] if len(sys.argv) > 1 else "mutan"
     yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml"}[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

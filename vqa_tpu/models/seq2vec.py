@@ -41,7 +41,7 @@ class LSTMLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array):
+    def __call__(self, x: jax.Array, mask: jax.Array, train: bool = False):
         hs = self.hidden_size
         wx = self.param("wx", nn.initializers.lecun_normal(), (x.shape[-1], 4 * hs))
         wh = self.param("wh", nn.initializers.orthogonal(), (hs, 4 * hs))
@@ -55,10 +55,11 @@ class LSTMLayer(nn.Module):
             + b.astype(self.dtype)
         )
         # recurrence: fused Pallas kernel on TPU (VMEM-resident wh), jnp scan
-        # reference elsewhere — same math either way (vqa_tpu.ops.lstm)
+        # reference elsewhere — same math either way (vqa_tpu.ops.lstm);
+        # train selects the backward implementation (ops.lstm.set_lstm_bwd)
         from vqa_tpu.ops.lstm import lstm_seq
 
-        return lstm_seq(xg, mask, wh)
+        return lstm_seq(xg, mask, wh, train=train)
 
 
 class GRULayer(nn.Module):
@@ -127,7 +128,9 @@ class SeqEncoder(nn.Module):
         h_last = None
         for layer in range(self.num_layers):
             if self.cell == "lstm":
-                h_last, x = LSTMLayer(self.hidden_size, self.dtype, name=f"lstm_{layer}")(x, mask)
+                h_last, x = LSTMLayer(self.hidden_size, self.dtype, name=f"lstm_{layer}")(
+                    x, mask, train=train
+                )
             elif self.cell == "gru":
                 h_last, x = GRULayer(self.hidden_size, self.dtype, name=f"gru_{layer}")(x, mask)
             else:

@@ -178,13 +178,121 @@ def _bwd(residuals, g):
 _lstm_seq_pallas.defvjp(_fwd, _bwd)
 
 
-def lstm_seq(xg: jax.Array, mask: jax.Array, wh: jax.Array):
+# --------------------------------------------------------------------------
+# hand-written "big-matmul" backward (train path option)
+#
+# XLA's native scan AD runs TWO sequential GEMMs per backward step — the
+# dh propagation [B,4H]x[4H,H] AND the weight-grad outer product
+# [H,B]x[B,4H] accumulated into a [H,4H] carry that round-trips HBM every
+# step (46MB at H=2400). This variant keeps ONLY dh propagation in the
+# reverse scan, stores the per-step pre-activation gate grads, and computes
+# BOTH weight-side grads afterwards as single full-MXU-rate GEMMs:
+#     dwh = h_prev[T,B,H] (x) dgates[T,B,4H]   (one [H, T*B]x[T*B, 4H])
+#     dxg = dgates                              (identity)
+# Forward saves the gate activations (i,f,g,o,tanh(c)) so the backward
+# recomputes NO matmuls (the remat trap, see lstm_seq docstring).
+# PROFILE_r02.json located the train step's headroom exactly here
+# (bwd:fwd = 2.7 vs the ideal 2.0).
+# --------------------------------------------------------------------------
+
+_LSTM_BWD = "bigmatmul"  # 'bigmatmul' (default, +10% train) | 'native' (XLA scan AD)
+
+
+def set_lstm_bwd(mode: str) -> None:
+    global _LSTM_BWD
+    if mode not in ("native", "bigmatmul"):
+        raise ValueError(f"lstm_bwd must be native|bigmatmul, got {mode!r}")
+    _LSTM_BWD = mode
+
+
+@jax.custom_vjp
+def _lstm_seq_bigmatmul(xg: jax.Array, mask: jax.Array, wh: jax.Array):
+    return lstm_seq_reference(xg, mask, wh)
+
+
+def _bm_fwd(xg, mask, wh):
+    hs = wh.shape[0]
+    batch = xg.shape[1]
+    zero = jnp.zeros((batch, hs), dtype=xg.dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        xg_t, m = inp
+        gates = xg_t + jnp.dot(h, wh, preferred_element_type=xg.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        new_c = f * c + i * g
+        tc = jnp.tanh(new_c)
+        new_h = o * tc
+        h2 = jnp.where(m, new_h, h)
+        c2 = jnp.where(m, new_c, c)
+        return (h2, c2), (new_h * m, h2, c2, i, f, g, o, tc)
+
+    (h_last, _), ys = jax.lax.scan(step, (zero, zero), (xg, mask))
+    seq, h_carry, c_carry, i, f, g, o, tc = ys
+    return (h_last, seq), (mask, wh, h_carry, c_carry, i, f, g, o, tc)
+
+
+def _bm_bwd(residuals, grads):
+    mask, wh, h_carry, c_carry, i, f, g, o, tc = residuals
+    dh_last, dseq = grads
+    hs = wh.shape[0]
+    batch = h_carry.shape[1]
+    dt = h_carry.dtype
+    zero = jnp.zeros((batch, hs), dtype=dt)
+    # step t consumed carry (h_{t-1}, c_{t-1}): shift the stored carries
+    h_prev = jnp.concatenate([zero[None], h_carry[:-1]])
+    c_prev = jnp.concatenate([zero[None], c_carry[:-1]])
+    wh_t = wh.T
+
+    def step(carry, inp):
+        dh, dc = carry
+        dy, m, cp, i_t, f_t, g_t, o_t, tc_t = inp
+        dnew_h = m * (dh + dy)           # y_t = new_h*m; h2 = m?new_h:h
+        dnew_c = m * dc + dnew_h * o_t * (1.0 - tc_t * tc_t)
+        dgi = (dnew_c * g_t) * i_t * (1.0 - i_t)
+        dgf = (dnew_c * cp) * f_t * (1.0 - f_t)
+        dgg = (dnew_c * i_t) * (1.0 - g_t * g_t)
+        dgo = (dnew_h * tc_t) * o_t * (1.0 - o_t)
+        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
+        dh_prev = (1.0 - m) * dh + jnp.dot(
+            dgates, wh_t, preferred_element_type=dt
+        )
+        dc_prev = (1.0 - m) * dc + dnew_c * f_t
+        return (dh_prev, dc_prev), dgates
+
+    (dh0, _), dgates = jax.lax.scan(
+        step, (dh_last.astype(dt), zero),
+        (dseq, mask, c_prev, i, f, g, o, tc),
+        reverse=True,
+    )
+    del dh0
+    # both weight-side grads as ONE full-rate GEMM each (no per-step
+    # [H,4H] accumulator round-tripping HBM inside the scan)
+    dwh = jnp.einsum(
+        "tbh,tbg->hg", h_prev, dgates, preferred_element_type=jnp.float32
+    ).astype(wh.dtype)
+    return dgates, jnp.zeros_like(mask), dwh
+
+
+_lstm_seq_bigmatmul.defvjp(_bm_fwd, _bm_bwd)
+
+
+def lstm_seq(xg: jax.Array, mask: jax.Array, wh: jax.Array, train: bool = False):
     """Dispatch: Pallas on TPU when wh + tile fit VMEM, else jnp scan.
 
     Only the Pallas path carries a custom_vjp (its backward recomputes via
     the reference). The XLA-scan path uses NATIVE autodiff so the backward
     reuses stored scan residuals — wrapping it in the remat vjp costs a full
-    extra forward, measured ~20% of the flagship (H=2400) train step."""
+    extra forward, measured ~20% of the flagship (H=2400) train step.
+
+    ``train=True`` + ``set_lstm_bwd('bigmatmul')`` swaps in the hand-written
+    big-matmul backward (see above); the eval path never takes the
+    custom_vjp wrapper (it is a fusion barrier even un-differentiated —
+    measured ~15% eval, perf ledger)."""
+    if train and _LSTM_BWD == "bigmatmul":
+        return _lstm_seq_bigmatmul(xg, mask, wh)
     if _pallas_block_b(xg, wh):
         return _lstm_seq_pallas(xg, mask, wh)
     return lstm_seq_reference(xg, mask, wh)
