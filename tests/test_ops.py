@@ -232,3 +232,39 @@ def test_lstm_bigmatmul_bwd_matches_native_ad():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_dwh), np.asarray(ref_dwh),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gru_bigmatmul_bwd_matches_native_ad():
+    """ops.gru big-matmul backward == native scan AD (incl. masked steps,
+    both outputs, and the hidden-side bias grad)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_tpu.ops.gru import _gru_seq_bigmatmul, gru_seq_reference
+
+    T, B, H, G3 = 6, 3, 4, 12
+    rng = np.random.default_rng(2)
+    gx = jnp.asarray(rng.standard_normal((T, B, G3)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((H, G3)) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.standard_normal(G3) * 0.1, jnp.float32)
+    lengths = np.asarray([T, 3, 5])
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] < lengths[None]).astype(np.float32)[..., None]
+    )
+
+    def loss(fn, gx, wh, bh):
+        h_last, seq = fn(gx, mask, wh, bh)
+        return (h_last * jnp.arange(1, H + 1)).sum() + (seq**2).sum() * 0.5
+
+    ref = jax.value_and_grad(
+        lambda a, w, b: loss(gru_seq_reference, a, w, b), argnums=(0, 1, 2)
+    )(gx, wh, bh)
+    got = jax.value_and_grad(
+        lambda a, w, b: loss(_gru_seq_bigmatmul, a, w, b), argnums=(0, 1, 2)
+    )(gx, wh, bh)
+
+    np.testing.assert_allclose(float(got[0]), float(ref[0]), rtol=1e-6)
+    for g_got, g_ref in zip(got[1], ref[1]):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)

@@ -40,13 +40,19 @@ def main() -> None:
 
     enable_compile_cache()
     jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_RNG", "rbg"))
-    from vqa_tpu.ops.lstm import set_lstm_bwd
+    from vqa_tpu.ops.flags import set_rnn_bwd
 
-    set_lstm_bwd(os.environ.get("BENCH_LSTM_BWD", "bigmatmul"))  # engine default
+    set_rnn_bwd(os.environ.get("BENCH_RNN_BWD", "bigmatmul"))  # engine default
     arch = sys.argv[1] if len(sys.argv) > 1 else "mutan"
-    yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml"}[arch]
+    # mutan_st: the skip-thoughts encoder variant (620/2400 GRU) the
+    # lineage's best-accuracy configs use — exercises ops/gru.py at scale
+    yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml",
+            "mutan_st": "mutan_att.yaml"}[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    opt = load_options(os.path.join(repo, "options/vqa2", yaml))
+    opt = load_options(
+        os.path.join(repo, "options/vqa2", yaml),
+        overrides=["model.seq2vec.arch=skipthoughts"] if arch == "mutan_st" else None,
+    )
     model = factory(opt.model, NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
 
     rng = np.random.default_rng(0)

@@ -157,9 +157,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     from vqa_tpu.ops.flags import set_pallas
 
     set_pallas(opt.engine.pallas)
-    from vqa_tpu.ops.lstm import set_lstm_bwd
+    from vqa_tpu.ops.flags import set_rnn_bwd
 
-    set_lstm_bwd(opt.engine.lstm_bwd)
+    set_rnn_bwd(opt.engine.rnn_bwd)
     jax.config.update("jax_default_prng_impl", opt.engine.rng_impl)
     if opt.engine.nan_check:
         jax.config.update("jax_debug_nans", True)

@@ -165,11 +165,11 @@ class EngineOptions:
     # heavy models) or 'threefry2x32' (JAX default). Both deterministic per
     # seed; streams differ between the two.
     rng_impl: str = "rbg"
-    # LSTM backward implementation for the train step: 'bigmatmul' (hand-
+    # recurrence (LSTM/GRU) backward for the train step: 'bigmatmul' (hand-
     # written vjp — only dh-propagation stays sequential, both weight grads
     # become single full-rate GEMMs; measured +10% train throughput, grads
     # == native AD, see ops/lstm.py) or 'native' (XLA scan AD)
-    lstm_bwd: str = "bigmatmul"
+    rnn_bwd: str = "bigmatmul"
     device_features: bool = False      # HBM-resident feature table + on-device gather
     features_dtype: str = "float32"    # dtype for the device feature table
     # row-shard the device feature table over all mesh devices instead of

@@ -69,7 +69,7 @@ class GRULayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array):
+    def __call__(self, x: jax.Array, mask: jax.Array, train: bool = False):
         hs = self.hidden_size
         wx = self.param("wx", nn.initializers.lecun_normal(), (x.shape[-1], 3 * hs))
         wh = self.param("wh", nn.initializers.orthogonal(), (hs, 3 * hs))
@@ -82,24 +82,11 @@ class GRULayer(nn.Module):
             jnp.einsum("tbe,eg->tbg", x, wx, preferred_element_type=self.dtype)
             + bx.astype(self.dtype)
         )
-        batch = x.shape[1]
-        init = jnp.zeros((batch, hs), dtype=self.dtype)
-        bh_c = bh.astype(self.dtype)
+        # recurrence in vqa_tpu.ops.gru; train selects the backward
+        # implementation (ops.flags.rnn_bwd, as in LSTMLayer)
+        from vqa_tpu.ops.gru import gru_seq
 
-        def step(h, inp):
-            gx_t, m = inp
-            gh = jnp.dot(h, wh, preferred_element_type=self.dtype) + bh_c
-            rx, zx, nx = jnp.split(gx_t, 3, axis=-1)
-            rh, zh, nh = jnp.split(gh, 3, axis=-1)
-            r = jax.nn.sigmoid(rx + rh)
-            z = jax.nn.sigmoid(zx + zh)
-            n = jnp.tanh(nx + r * nh)
-            new_h = (1.0 - z) * n + z * h
-            h = jnp.where(m, new_h, h)
-            return h, new_h * m
-
-        h_last, seq = jax.lax.scan(step, init, (gx, mask))
-        return h_last, seq
+        return gru_seq(gx, mask, wh, bh, train=train)
 
 
 class SeqEncoder(nn.Module):
@@ -132,7 +119,9 @@ class SeqEncoder(nn.Module):
                     x, mask, train=train
                 )
             elif self.cell == "gru":
-                h_last, x = GRULayer(self.hidden_size, self.dtype, name=f"gru_{layer}")(x, mask)
+                h_last, x = GRULayer(self.hidden_size, self.dtype, name=f"gru_{layer}")(
+                    x, mask, train=train
+                )
             else:
                 raise ValueError(f"unknown cell {self.cell!r}")
             if layer + 1 < self.num_layers:

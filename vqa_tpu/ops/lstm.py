@@ -195,14 +195,11 @@ _lstm_seq_pallas.defvjp(_fwd, _bwd)
 # (bwd:fwd = 2.7 vs the ideal 2.0).
 # --------------------------------------------------------------------------
 
-_LSTM_BWD = "bigmatmul"  # 'bigmatmul' (default, +10% train) | 'native' (XLA scan AD)
-
-
 def set_lstm_bwd(mode: str) -> None:
-    global _LSTM_BWD
-    if mode not in ("native", "bigmatmul"):
-        raise ValueError(f"lstm_bwd must be native|bigmatmul, got {mode!r}")
-    _LSTM_BWD = mode
+    """Back-compat alias for ops.flags.set_rnn_bwd (governs LSTM and GRU)."""
+    from vqa_tpu.ops import flags
+
+    flags.set_rnn_bwd(mode)
 
 
 @jax.custom_vjp
@@ -287,11 +284,13 @@ def lstm_seq(xg: jax.Array, mask: jax.Array, wh: jax.Array, train: bool = False)
     reuses stored scan residuals — wrapping it in the remat vjp costs a full
     extra forward, measured ~20% of the flagship (H=2400) train step.
 
-    ``train=True`` + ``set_lstm_bwd('bigmatmul')`` swaps in the hand-written
-    big-matmul backward (see above); the eval path never takes the
-    custom_vjp wrapper (it is a fusion barrier even un-differentiated —
-    measured ~15% eval, perf ledger)."""
-    if train and _LSTM_BWD == "bigmatmul":
+    ``train=True`` + ``flags.rnn_bwd() == 'bigmatmul'`` (the default) swaps
+    in the hand-written big-matmul backward (see above); the eval path never
+    takes the custom_vjp wrapper (it is a fusion barrier even
+    un-differentiated — measured ~15% eval, perf ledger)."""
+    from vqa_tpu.ops import flags
+
+    if train and flags.rnn_bwd() == "bigmatmul":
         return _lstm_seq_bigmatmul(xg, mask, wh)
     if _pallas_block_b(xg, wh):
         return _lstm_seq_pallas(xg, mask, wh)
