@@ -268,3 +268,47 @@ def test_gru_bigmatmul_bwd_matches_native_ad():
     for g_got, g_ref in zip(got[1], ref[1]):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_eval_graph_has_no_custom_vjp_barrier():
+    """Regression guard for the fusion-barrier trap (perf ledger): the eval
+    forward must contain NO custom_vjp wrapper (costs ~15% eval when it
+    sneaks into the XLA dispatch path); the train forward SHOULD contain the
+    big-matmul recurrence vjp (the default engine.rnn_bwd)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_tpu.config import ModelOptions
+    from vqa_tpu.models import factory
+
+    opt = ModelOptions(
+        arch="MutanAtt",
+        seq2vec={"arch": "lstm", "emb_size": 8, "hidden_size": 10},
+        attention={"nb_glimpses": 2, "dim_hq": 6, "dim_hv": 6, "dim_mm": 8, "R": 2},
+        fusion={"arch": "mutan", "dim_hq": 6, "dim_hv": 6, "dim_mm": 8, "R": 2},
+    )
+    model = factory(opt, 17, 9)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((2, 4, 12)), jnp.float32)
+    q = jnp.asarray(rng.integers(1, 17, (2, 5)), jnp.int32)
+    lengths = jnp.full((2,), 5, jnp.int32)
+    params = model.init(jax.random.key(0), v, q, lengths)
+
+    def prims(train):
+        kwargs = {"rngs": {"dropout": jax.random.key(1)}} if train else {}
+        jaxpr = jax.make_jaxpr(
+            lambda p: model.apply(p, v, q, lengths, train=train, **kwargs)
+        )(params)
+        names = set()
+
+        def walk(jx):
+            for eqn in jx.eqns:
+                names.add(eqn.primitive.name)
+                for sub in jax.core.jaxprs_in_params(eqn.params):
+                    walk(sub)
+        walk(jaxpr.jaxpr)
+        return names
+
+    assert not any("custom_vjp" in n for n in prims(train=False))
+    assert any("custom_vjp" in n for n in prims(train=True))
