@@ -24,10 +24,22 @@ BATCH = int(os.environ.get("BENCH_BATCH", 256))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 NUM_WORDS, NUM_ANSWERS = 12_000, 2_000
 SEQ, REGIONS, DIM = 26, 36, 2048
-# fraction of bucketed train batches landing in the short (T=13) bucket:
-# VQA v2 questions average ~6 tokens; >90% fit 13. Uniform-5..26 synthetic
-# data gives ~0.41. Report both blends.
-BUCKET13_FRAC = {"vqa_like": 0.92, "uniform": 0.41}
+# the train ladder (engine.train_buckets default): with bucketed shuffling
+# (big windows) batches are length-homogeneous, so each batch rides the
+# smallest covering rung; fractions come from the same length distributions
+# bench.py uses (vqa_like: N(6.2, 2.2) clip [3,26]; uniform: 5..26)
+LADDER = (7, 13, SEQ)
+
+
+def bucket_fracs(dist: str):
+    rng = np.random.default_rng(123)
+    if dist == "vqa_like":
+        lengths = np.clip(np.round(rng.normal(6.2, 2.2, 200_000)), 3, SEQ)
+    else:
+        lengths = rng.integers(5, SEQ + 1, 200_000)
+    lows = (0,) + LADDER[:-1]
+    return [float(np.mean((lengths > lo) & (lengths <= hi)))
+            for lo, hi in zip(lows, LADDER)]
 
 
 def main() -> None:
@@ -94,19 +106,28 @@ def main() -> None:
         qa_b, metrics, state = one_pass(state)
         return max(qa_a, qa_b), float(metrics["loss"])
 
-    qa26, loss = rate(batch26)
-    qa13, _ = rate(make_batch((SEQ + 1) // 2))
+    rates = {}
+    loss = None
+    for t in LADDER:
+        batch_t = batch26 if t == SEQ else make_batch(t)
+        rates[t], l = rate(batch_t)
+        if t == SEQ:
+            loss = l
     blended = {
-        name: round(1.0 / (f / qa13 + (1 - f) / qa26), 1)
-        for name, f in BUCKET13_FRAC.items()
+        dist: round(
+            1.0 / sum(f / rates[t] for f, t in zip(bucket_fracs(dist), LADDER) if f),
+            1,
+        )
+        for dist in ("vqa_like", "uniform")
     }
     print(
         json.dumps(
             {
                 "metric": f"train_step_throughput_{arch}",
-                "value": round(qa26, 1),
+                "value": round(rates[SEQ], 1),
                 "unit": "QA pairs/sec/chip",
-                "t13_value": round(qa13, 1),
+                "t13_value": round(rates[13], 1),
+                "t7_value": round(rates[7], 1),
                 "bucketed_blend": blended,
                 "steps": STEPS,
                 "batch": BATCH,

@@ -305,10 +305,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"val acc1: {acc1*100:.2f}", flush=True)
             return 0
 
+        from vqa_tpu.datasets.pipeline import normalize_buckets
+
+        train_ladder = normalize_buckets(
+            opt.engine.train_buckets
+            or sorted({
+                min(7, opt.vqa.maxlength), (opt.vqa.maxlength + 1) // 2,
+            }),
+            opt.vqa.maxlength,
+        )
         train_bucketing = (
             dict(
                 bucket_window=opt.engine.train_bucketing,
-                length_buckets=((opt.vqa.maxlength + 1) // 2, opt.vqa.maxlength),
+                length_buckets=train_ladder,
             )
             if opt.engine.train_bucketing and opt.vqa.pad == "right"
             else {}
