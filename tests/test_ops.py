@@ -312,3 +312,37 @@ def test_eval_graph_has_no_custom_vjp_barrier():
 
     assert not any("custom_vjp" in n for n in prims(train=False))
     assert any("custom_vjp" in n for n in prims(train=True))
+
+
+def test_gru_bigmatmul_bwd_mixed_dtype_cotangents():
+    """bf16 compute with a raw f32 hidden bias (exactly what GRULayer passes
+    on the bf16 path): cotangent dtypes must match the primals' — dbh stays
+    f32 (an earlier draft rounded it to bf16) — and values track native AD
+    at bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_tpu.ops.gru import _gru_seq_bigmatmul, gru_seq_reference
+
+    T, B, H, G3 = 5, 2, 4, 12
+    rng = np.random.default_rng(3)
+    gx = jnp.asarray(rng.standard_normal((T, B, G3)), jnp.bfloat16)
+    wh = jnp.asarray(rng.standard_normal((H, G3)) * 0.3, jnp.bfloat16)
+    bh = jnp.asarray(rng.standard_normal(G3) * 0.1, jnp.float32)
+    mask = jnp.ones((T, B, 1), jnp.bfloat16)
+
+    def loss(fn, gx, wh, bh):
+        h_last, seq = fn(gx, mask, wh, bh)
+        return (h_last.astype(jnp.float32) ** 2).sum() + (
+            seq.astype(jnp.float32) ** 2
+        ).sum()
+
+    ref = jax.grad(lambda *a: loss(gru_seq_reference, *a), argnums=(0, 1, 2))(gx, wh, bh)
+    got = jax.grad(lambda *a: loss(_gru_seq_bigmatmul, *a), argnums=(0, 1, 2))(gx, wh, bh)
+    for g_got, g_ref, primal in zip(got, ref, (gx, wh, bh)):
+        assert g_got.dtype == primal.dtype == g_ref.dtype
+        np.testing.assert_allclose(
+            np.asarray(g_got, np.float32), np.asarray(g_ref, np.float32),
+            rtol=0.1, atol=0.05,
+        )

@@ -81,8 +81,11 @@ def test_batch_chunks_past_max_batch(served):
                           "images": [images[i % 3] for i in range(9)]})
     assert status == 200
     assert len(body["answers"]) == 9  # 9 > max_batch 4: chunked + padded
-    # same question+image -> same answer regardless of chunk position
-    assert body["answers"][0] != [] and body["answers"][3] != []
+    # same (question, image) must yield the same answers regardless of
+    # chunk position — catches pad-row leakage / row misalignment
+    direct = predictor.answer_batch(questions, [images[i % 3] for i in range(9)])
+    for served, want in zip(body["answers"], direct):
+        assert [a for a, _ in served] == [a for a, _ in want]
 
 
 def test_bad_requests(served):

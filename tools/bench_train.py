@@ -2,11 +2,15 @@
 bench.py eval throughput per BASELINE.md; this quantifies the full
 fwd+bwd+adam step for the graded full-train configs #3/#5).
 
-Measures the donated train step at each length bucket (T=26 full pad and
-T=13 — what engine.train_bucketing feeds) and reports the blended rate for a
-VQA-like length distribution. BENCH_BATCH sweeps the batch size.
+Measures the donated train step at each rung of the default train ladder
+(T=26 full pad, T=13, T=7 — what engine.train_bucketing feeds) and reports
+the blended rate for VQA-like and uniform length distributions.
+BENCH_BATCH sweeps the batch size; BENCH_RNN_BWD=native|bigmatmul A/Bs the
+recurrence backward.
 
-Usage: python tools/bench_train.py [arch]   (arch: mutan | cor; default mutan)
+Usage: python tools/bench_train.py [arch]
+  arch: mutan | cor | mutan_st (mutan with the 620/2400 skip-thoughts GRU
+  encoder); default mutan
 """
 
 import json

@@ -79,9 +79,14 @@ def make_handler(service: AnswerService):
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        MAX_BODY = 8 * 1024 * 1024  # cap request buffering (OOM guard)
+
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > self.MAX_BODY:
+                    self._send(413, {"error": f"body exceeds {self.MAX_BODY} bytes"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 topk = int(req.get("topk", 5))
                 if self.path == "/answer":
@@ -98,8 +103,13 @@ def make_handler(service: AnswerService):
                     self._send(404, {"error": f"unknown path {self.path}"})
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
-            except Exception as e:  # noqa: BLE001 — survive bad requests
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
+            except Exception:  # noqa: BLE001 — internal failure, not the client's
+                import traceback
+
+                traceback.print_exc()
+                self._send(500, {"error": "internal error"})
 
     return Handler
 

@@ -56,7 +56,7 @@ class LSTMLayer(nn.Module):
         )
         # recurrence: fused Pallas kernel on TPU (VMEM-resident wh), jnp scan
         # reference elsewhere — same math either way (vqa_tpu.ops.lstm);
-        # train selects the backward implementation (ops.lstm.set_lstm_bwd)
+        # train selects the backward implementation (ops.flags.set_rnn_bwd)
         from vqa_tpu.ops.lstm import lstm_seq
 
         return lstm_seq(xg, mask, wh, train=train)

@@ -67,11 +67,11 @@ def _bm_fwd(gx, mask, wh, bh):
 
     h_last, ys = jax.lax.scan(step, init, (gx, mask))
     seq, h_carry, r, z, n, nh = ys
-    return (h_last, seq), (mask, wh, h_carry, r, z, n, nh)
+    return (h_last, seq), (mask, wh, bh, h_carry, r, z, n, nh)
 
 
 def _bm_bwd(residuals, grads):
-    mask, wh, h_carry, r, z, n, nh = residuals
+    mask, wh, bh, h_carry, r, z, n, nh = residuals
     dh_last, dseq = grads
     hs = wh.shape[0]
     batch = h_carry.shape[1]
@@ -107,7 +107,11 @@ def _bm_bwd(residuals, grads):
     dwh = jnp.einsum(
         "tbh,tbg->hg", h_prev, dgh, preferred_element_type=jnp.float32
     ).astype(wh.dtype)
-    dbh = dgh.sum(axis=(0, 1)).astype(wh.dtype)
+    # bh arrives as the RAW param (GRULayer casts it inside the cell), so
+    # its cotangent must match bh's dtype, not the compute dtype — an
+    # .astype(wh.dtype) here would silently round the bias grad to bf16 on
+    # the bf16 path
+    dbh = dgh.astype(jnp.float32).sum(axis=(0, 1)).astype(bh.dtype)
     return dgx, jnp.zeros_like(mask), dwh, dbh
 
 

@@ -195,11 +195,6 @@ _lstm_seq_pallas.defvjp(_fwd, _bwd)
 # (bwd:fwd = 2.7 vs the ideal 2.0).
 # --------------------------------------------------------------------------
 
-def set_lstm_bwd(mode: str) -> None:
-    """Back-compat alias for ops.flags.set_rnn_bwd (governs LSTM and GRU)."""
-    from vqa_tpu.ops import flags
-
-    flags.set_rnn_bwd(mode)
 
 
 @jax.custom_vjp
@@ -287,11 +282,13 @@ def lstm_seq(xg: jax.Array, mask: jax.Array, wh: jax.Array, train: bool = False)
     ``train=True`` + ``flags.rnn_bwd() == 'bigmatmul'`` (the default) swaps
     in the hand-written big-matmul backward (see above); the eval path never
     takes the custom_vjp wrapper (it is a fusion barrier even
-    un-differentiated — measured ~15% eval, perf ledger)."""
+    un-differentiated — measured ~15% eval, perf ledger). Forced-kernel
+    mode (``engine.pallas: on``) takes precedence so a kernel A/B measures
+    the kernel, not the bigmatmul XLA path."""
     from vqa_tpu.ops import flags
 
-    if train and flags.rnn_bwd() == "bigmatmul":
-        return _lstm_seq_bigmatmul(xg, mask, wh)
     if _pallas_block_b(xg, wh):
         return _lstm_seq_pallas(xg, mask, wh)
+    if train and flags.rnn_bwd() == "bigmatmul":
+        return _lstm_seq_bigmatmul(xg, mask, wh)
     return lstm_seq_reference(xg, mask, wh)
