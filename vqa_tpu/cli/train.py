@@ -222,8 +222,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # question axis cut LSTM steps to ~mean length (see pipeline.BatchIterator)
     from vqa_tpu.datasets.pipeline import normalize_buckets
 
+    # default ladder {7, maxlength/2, maxlength} matches the train ladder
+    # and the measured-best bench config (finer rungs are neutral — ledger)
     eval_buckets = normalize_buckets(
-        opt.engine.eval_buckets or ((opt.vqa.maxlength + 1) // 2,),
+        opt.engine.eval_buckets
+        or sorted({min(7, opt.vqa.maxlength), (opt.vqa.maxlength + 1) // 2}),
         opt.vqa.maxlength,
     )
     bucketing = (
