@@ -9,8 +9,8 @@ BENCH_BATCH sweeps the batch size; BENCH_RNN_BWD=native|bigmatmul A/Bs the
 recurrence backward.
 
 Usage: python tools/bench_train.py [arch]
-  arch: mutan | cor | mutan_st (mutan with the 620/2400 skip-thoughts GRU
-  encoder); default mutan
+  arch: mutan | cor | mfb | mfh | mutan_st (mutan with the 620/2400
+  skip-thoughts GRU encoder); default mutan
 """
 
 import json
@@ -63,6 +63,7 @@ def main() -> None:
     # mutan_st: the skip-thoughts encoder variant (620/2400 GRU) the
     # lineage's best-accuracy configs use — exercises ops/gru.py at scale
     yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml",
+            "mfb": "mfb_coatt.yaml", "mfh": "mfh_coatt.yaml",
             "mutan_st": "mutan_att.yaml"}[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     opt = load_options(
