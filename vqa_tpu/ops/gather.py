@@ -35,26 +35,51 @@ def _kernel(idx_ref, row_ref, out_ref):
     out_ref[:] = row_ref[:]
 
 
+# rows gathered per grid step. Measured ADR (v5e, 1024x[36,2048] bf16,
+# best-of-3x30): jnp.take 3.05ms / rows=1 2.59 / rows=4 2.89 / rows=8 2.51
+# / rows=16 2.62 / rows=32 VMEM-OOM. Multi-row blocks are ~neutral — the
+# ~115GB/s ceiling is the device's random-row HBM read rate, not DMA issue
+# latency — so 8 is kept as the (marginally) best measurement, NOT a
+# claimed win over 1.
+_ROWS_PER_STEP = 8
+
+
+def _make_multi_kernel(rows: int):
+    def kernel(idx_ref, *refs):
+        del idx_ref
+        row_refs, out_ref = refs[:rows], refs[rows]
+        for j in range(rows):
+            out_ref[j] = row_refs[j][0]
+
+    return kernel
+
+
 def _pallas_fwd(table: jax.Array, idx: jax.Array) -> jax.Array:
     B = idx.shape[0]
     tail = table.shape[1:]
+    zeros = (0,) * len(tail)
+    rows = _ROWS_PER_STEP if B % _ROWS_PER_STEP == 0 else 1
+
+    def row_spec(j):
+        return pl.BlockSpec(
+            (1,) + tail,
+            lambda i, idx_ref, j=j: (idx_ref[i * rows + j],) + zeros,
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(
-                (1,) + tail,
-                lambda i, idx_ref: (idx_ref[i],) + (0,) * len(tail),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        grid=(B // rows,),
+        in_specs=[row_spec(j) for j in range(rows)],
         out_specs=pl.BlockSpec(
-            (1,) + tail, lambda i, idx_ref: (i,) + (0,) * len(tail),
+            (rows,) + tail, lambda i, idx_ref: (i,) + zeros,
             memory_space=pltpu.VMEM,
         ),
     )
+    # the table rides in once per row-spec (same array -> one HBM buffer;
+    # the aliases only exist so each spec can carry its own index_map)
     return pl.pallas_call(
-        _kernel,
+        _make_multi_kernel(rows) if rows > 1 else _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B,) + tail, table.dtype),
         cost_estimate=pl.CostEstimate(
@@ -62,7 +87,7 @@ def _pallas_fwd(table: jax.Array, idx: jax.Array) -> jax.Array:
             bytes_accessed=2 * B * math.prod(tail) * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(idx, table)
+    )(idx, *([table] * rows))
 
 
 @jax.custom_vjp
