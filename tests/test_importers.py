@@ -600,3 +600,28 @@ def test_pretrained_encoder_hook(tmp_path):
     bad_model = models_factory(bad.model, VOCAB + 3, NANS)
     with pytest.raises(ValueError, match="re-aligned"):
         init_params(bad_model, FakeDataset(), bad)
+
+
+def test_import_cli_show_lists_both_sides(tmp_path, capsys):
+    """--show prints torch keys and model leaves side by side (the
+    spec-authoring workflow for checkpoints with renamed modules)."""
+    from tools.import_torch import main as cli
+
+    emb = tnn.Embedding(7, 3)
+    torch.save({"embedding.weight": emb.weight.detach()}, tmp_path / "w.pth")
+    yaml = tmp_path / "opt.yaml"
+    yaml.write_text("""
+model:
+  arch: MutanAtt
+  seq2vec: {arch: lstm, emb_size: 3, hidden_size: 4}
+  attention: {nb_glimpses: 1, dim_hq: 3, dim_hv: 3, dim_mm: 4, R: 2}
+  fusion: {arch: mutan, dim_hq: 3, dim_hv: 3, dim_mm: 4, R: 2}
+""")
+    rc = cli([str(tmp_path / "w.pth"), "--kind", "model",
+              "--path_opt", str(yaml), "--num_words", "7", "--num_answers", "5",
+              "--regions", "3", "--feature_dim", "6",
+              "--out", str(tmp_path / "x.npz"), "--show"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "embedding.weight  (7, 3)" in out
+    assert "encoder/lstm_0/wx" in out and "classifier/logits/kernel" in out

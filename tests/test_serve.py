@@ -98,3 +98,28 @@ def test_bad_requests(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(base + "/nope")
     assert e.value.code == 404
+
+
+def test_concurrent_requests_serialize_correctly(served):
+    """ThreadingHTTPServer + the service lock: concurrent posts both get
+    correct, row-aligned answers (device work serializes, requests don't
+    corrupt each other)."""
+    import threading
+
+    predictor, _, base = served
+    images = predictor.dataset.split.image_names[:2]
+    want = [predictor.answer(f"Is it {i}?", images[i], topk=2) for i in range(2)]
+    results = [None, None]
+
+    def hit(i):
+        _, body = _post(base + "/answer",
+                        {"question": f"Is it {i}?", "image": images[i], "topk": 2})
+        results[i] = body["answers"]
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, expect in zip(results, want):
+        assert [a for a, _ in got] == [a for a, _ in expect]
