@@ -84,3 +84,23 @@ def test_experiment_logger_never_truncates(tmp_path):
     raw = open(os.path.join(str(tmp_path), "metrics.jsonl")).read()
     assert '"run_start"' in raw  # restart marked
     reader.close()
+
+
+def test_plot_logs_tool(tmp_path):
+    """tools/plot_logs.py renders curves.png from a run dir's metrics."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from tools.plot_logs import main as plot_main
+
+    exp = Experiment(str(tmp_path))
+    for epoch in range(3):
+        exp.log_epoch(epoch, "train", {"loss": 2.0 - 0.3 * epoch})
+        exp.log_epoch(epoch, "val", {"acc1": 0.2 + 0.1 * epoch,
+                                     "acc5": 0.5 + 0.1 * epoch})
+    exp.close()
+    assert plot_main(["--dir_logs", str(tmp_path)]) == 0
+    assert os.path.getsize(os.path.join(str(tmp_path), "curves.png")) > 1000
+    # empty dir fails loudly
+    assert plot_main(["--dir_logs", str(tmp_path / "nope")]) == 1
