@@ -72,7 +72,11 @@ def main() -> None:
     from vqa_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    marker = os.path.join(args.dir, f"done_{args.n_images}_{args.n_questions}")
+    # one directory PER config: different --n_images/--n_questions used to
+    # share a dir and silently overwrite each other's fixture files while
+    # both markers survived (stale-fixture KeyErrors / wrong-table timings)
+    args.dir = os.path.join(args.dir, f"{args.n_images}x{args.n_questions}")
+    marker = os.path.join(args.dir, "done")
     if not os.path.exists(marker):
         t0 = time.perf_counter()
         generate(
