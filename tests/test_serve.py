@@ -100,6 +100,35 @@ def test_bad_requests(served):
     assert e.value.code == 404
 
 
+def test_topk_validation(served):
+    _, service, base = served
+    image_req = {"question": "q", "image": "img"}
+    for bad in (0, -3, service.num_answers + 1):
+        status, body = _post(base + "/answer", dict(image_req, topk=bad))
+        assert status == 400 and "topk" in body["error"]
+
+
+def test_missing_content_length_is_411(served):
+    _, _, base = served
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port)
+    try:
+        # hand-rolled request with no Content-Length (chunked body)
+        conn.putrequest("POST", "/answer", skip_accept_encoding=True)
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        body = b'{"question": "q", "image": "img"}'
+        conn.send(b"%x\r\n%s\r\n0\r\n\r\n" % (len(body), body))
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
 def test_concurrent_requests_serialize_correctly(served):
     """ThreadingHTTPServer + the service lock: concurrent posts both get
     correct, row-aligned answers (device work serializes, requests don't

@@ -36,6 +36,10 @@ class AnswerService:
         self.max_batch = max_batch
         self._lock = threading.Lock()
 
+    @property
+    def num_answers(self) -> int:
+        return self.predictor.dataset.num_answers
+
     def warmup(self) -> None:
         image = self.predictor.dataset.split.image_names[0]
         self.answer_batch(["warmup question"], [image], topk=1)
@@ -83,12 +87,22 @@ def make_handler(service: AnswerService):
 
         def do_POST(self):
             try:
+                if self.headers.get("Content-Length") is None:
+                    # chunked / absent lengths would read an empty body and
+                    # surface as a confusing "missing field" 400
+                    self._send(411, {"error": "Content-Length required"})
+                    return
                 length = int(self.headers.get("Content-Length", 0))
                 if length > self.MAX_BODY:
                     self._send(413, {"error": f"body exceeds {self.MAX_BODY} bytes"})
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 topk = int(req.get("topk", 5))
+                if not 1 <= topk <= service.num_answers:
+                    self._send(400, {
+                        "error": f"topk must be in [1, {service.num_answers}]",
+                    })
+                    return
                 if self.path == "/answer":
                     answers = service.answer_batch(
                         [req["question"]], [req["image"]], topk=topk

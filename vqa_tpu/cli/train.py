@@ -308,8 +308,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"val acc1: {acc1*100:.2f}", flush=True)
             return 0
 
-        from vqa_tpu.datasets.pipeline import normalize_buckets
-
         train_ladder = normalize_buckets(
             opt.engine.train_buckets
             or sorted({

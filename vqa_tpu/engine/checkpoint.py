@@ -100,7 +100,22 @@ class CheckpointManager:
         epoch = self.resolve(which)
         path = self._epoch_dir(epoch)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-        state = self._ckptr.restore(path, abstract)
+        try:
+            state = self._ckptr.restore(path, abstract)
+        except Exception as e:
+            # param-tree mismatches are most commonly a config drift between
+            # the run dir and the restoring process; the known historical one
+            # is core_bias (b_core_q/b_core_v added to MUTAN fusions,
+            # default true) — pre-change run dirs need core_bias=false
+            if "b_core" in str(e) or "core_bias" in str(e):
+                raise RuntimeError(
+                    f"checkpoint restore failed with a core-bias param-tree "
+                    f"mismatch; this run dir predates fusion.core_bias=true "
+                    f"(the default) — resume with --opt "
+                    f"model.fusion.core_bias=false (and --opt "
+                    f"model.attention.core_bias=false for att models)"
+                ) from e
+            raise
         return state, epoch
 
     @property

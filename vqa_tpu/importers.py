@@ -279,6 +279,13 @@ def _rank_dense(sd: Mapping[str, Array], key: str) -> Tree:
         ws.append(np.asarray(sd[f"{key}.{r}.weight"]).T)  # [in, M]
         if f"{key}.{r}.bias" in sd:
             bs.append(np.asarray(sd[f"{key}.{r}.bias"]))
+    if len(bs) not in (0, len(ws)):
+        # a strict subset would misalign rank-to-slice silently when widths
+        # happen to sum right; make the all-or-none invariant explicit
+        raise ValueError(
+            f"{key}: {len(bs)} of {len(ws)} rank Linears have biases "
+            "(must be all or none)"
+        )
     out = {"kernel": np.concatenate(ws, axis=1)}
     if bs:
         out["bias"] = np.concatenate(bs)
@@ -296,6 +303,11 @@ def _blockdiag_dense(sd: Mapping[str, Array], key: str) -> Tree:
         i, j = i + w.shape[0], j + w.shape[1]
         if f"{key}.{g}.bias" in sd:
             bs.append(np.asarray(sd[f"{key}.{g}.bias"]))
+    if len(bs) not in (0, len(ws)):
+        raise ValueError(
+            f"{key}: {len(bs)} of {len(ws)} glimpse Linears have biases "
+            "(must be all or none)"
+        )
     out = {"kernel": kernel}
     if bs:
         out["bias"] = np.concatenate(bs)
