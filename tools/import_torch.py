@@ -127,6 +127,8 @@ def main(argv=None) -> int:
             name = {
                 "MutanAtt": "mutan_att", "MLBAtt": "mlb_att",
                 "MutanNoAtt": "mutan_noatt", "MLBNoAtt": "mlb_noatt",
+                "MFBCoAtt": "mfb_coatt", "MFHCoAtt": "mfh_coatt",
+                "CoR": "cor", "ConcatAtt": "concat_att",
             }.get(opt.model.arch)
             if name is None:
                 p.error(f"no default spec for arch {opt.model.arch!r}; pass --spec")

@@ -358,6 +358,27 @@ def model_from_torch(
             raise KeyError(f"unknown spec kind {kind!r}; known: {sorted(_ENTRY_KINDS)}")
         kwargs = {"layer": entry["layer"]} if "layer" in entry else {}
         converted = fn(sd, entry["key"], **kwargs)
+        if "pool_perm" in entry:
+            # MFB pre-pool projections: the torch lineage sum-pools CONTIGUOUS
+            # k-windows (AvgPool1d(k) * k) while our mfb_pool uses STRIDED
+            # groups (group d sums z[..., j*m + d], a Mosaic-friendly
+            # reparametrization — ops/mfb_pool.py). The two layouts differ by
+            # a permutation of the projection's output channels, proven in
+            # tests/test_fusion_torch_oracle.py::_strided_to_contiguous_perm;
+            # apply its inverse here so imported weights feed our pool.
+            k = int(entry["pool_perm"])
+            out_dim = converted["kernel"].shape[-1]
+            if out_dim % k:
+                raise ValueError(
+                    f"{entry['key']}: pool_perm k={k} does not divide the "
+                    f"projection width {out_dim}"
+                )
+            m = out_dim // k
+            o = np.arange(out_dim)
+            inv = (o % m) * k + o // m  # ours[o] = torch[(o%m)*k + o//m]
+            converted = {
+                name: arr[..., inv] for name, arr in converted.items()
+            }
         if "leaves" in entry:  # remap {kernel, bias} onto custom leaf names
             names = list(entry["leaves"])
             converted = dict(zip(names, [converted["kernel"], converted.get("bias")][: len(names)]))
