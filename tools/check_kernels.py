@@ -114,7 +114,8 @@ def main():
            timeit(h_r, joint, w, bb_, v), dict(B=B, R=R, M=M, G=G, D=D))
 
     # feature-table row gather, bench shapes (the one kernel that BEATS XLA:
-    # jnp.take runs ~13x off HBM bandwidth here)
+    # 1.25x over jnp.take, KERNELS_r02.json; both near the ~115GB/s
+    # random-row HBM read ceiling)
     from vqa_tpu.ops.gather import _pallas_fwd as gather_pallas, gather_rows_reference
 
     table = jnp.asarray(rng.standard_normal((1024, R, D)) * 0.5, jnp.bfloat16)

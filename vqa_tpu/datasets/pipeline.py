@@ -62,6 +62,7 @@ class BatchIterator:
         bucket_window: int = 0,
         shard_index: int = 0,
         shard_count: int = 1,
+        shard_even: bool = False,
     ):
         """``sort_by_length`` + ``length_buckets`` implement eval-time length
         bucketing: batches are drawn in question-length order and the padded
@@ -81,7 +82,11 @@ class BatchIterator:
         ``shard_index``/``shard_count`` implement per-host input sharding for
         multi-host data parallelism (SURVEY.md section 5.8): each host draws
         the same deterministic epoch order and takes a disjoint strided
-        slice, so shards stay balanced under shuffling."""
+        slice, so shards stay balanced under shuffling. ``shard_even``
+        truncates every shard to floor(N / shard_count) examples so ALL
+        hosts run the SAME number of steps — required in SPMD multi-process
+        training, where one host running an extra step deadlocks the
+        collectives (parallel/distributed.py)."""
         if drop_last and pad_last:
             raise ValueError("drop_last and pad_last are mutually exclusive")
         if sort_by_length and shuffle:
@@ -103,9 +108,12 @@ class BatchIterator:
             raise ValueError(f"shard_index {shard_index} out of range for {shard_count}")
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.shard_even = shard_even
 
     def _shard_len(self) -> int:
         n = len(self.dataset)
+        if self.shard_even:
+            return n // self.shard_count
         return (n - self.shard_index + self.shard_count - 1) // self.shard_count
 
     def steps_per_epoch(self) -> int:
@@ -130,6 +138,8 @@ class BatchIterator:
         order = epoch_order(n, self.seed, epoch, self.shuffle)
         if self.shard_count > 1:
             order = order[self.shard_index :: self.shard_count]
+            if self.shard_even:
+                order = order[: len(self.dataset) // self.shard_count]
             n = len(order)
         if self.sort_by_length:
             order = order[np.argsort(self.dataset.split.lengths[order], kind="stable")]

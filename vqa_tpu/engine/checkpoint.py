@@ -49,9 +49,17 @@ class CheckpointManager:
     # -- save / restore ------------------------------------------------------
 
     def save(self, state, epoch: int, acc: Optional[float] = None) -> bool:
-        """Save state for ``epoch``; returns True if this is the new best."""
+        """Save state for ``epoch``; returns True if this is the new best.
+
+        Multi-process (parallel/distributed.py): pass the GLOBAL jax arrays,
+        not a device_get'd numpy tree — Orbax coordinates a replicated-array
+        save natively (primary writes, every process participates in the
+        barriers), while numpy trees make its internal collectives diverge
+        (measured: gloo payload mismatch crash). The info record and pruning
+        are this class's own bookkeeping and run on process 0 only."""
+        primary = jax.process_index() == 0
         path = self._epoch_dir(epoch)
-        if os.path.exists(path):
+        if primary and os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
@@ -67,8 +75,9 @@ class CheckpointManager:
         if is_best:
             info["best"] = epoch
             info["best_acc"] = acc
-        self._write_info(info)
-        self._prune(info)
+        if primary:
+            self._write_info(info)
+            self._prune(info)
         return is_best
 
     def _prune(self, info: Dict[str, Any]) -> None:

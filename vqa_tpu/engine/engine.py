@@ -24,8 +24,29 @@ from vqa_tpu.engine.meters import MeterBank
 DEVICE_KEYS = ("visual", "image_index", "question", "length", "answer", "valid")
 
 
-def make_device_transform(sharding=None, dtype=None):
-    """Pipeline transform: put compute keys on device, keep qids on host."""
+def make_device_transform(sharding=None, dtype=None, multihost=None):
+    """Pipeline transform: put compute keys on device, keep qids on host.
+
+    ``multihost`` (only meaningful when ``jax.process_count() > 1``; see
+    parallel/distributed.py ADR) selects how a host's arrays become global:
+      'shard'     — this host carries ONLY its input shard (train path:
+                    per-host BatchIterator sharding); assembled with
+                    make_array_from_process_local_data.
+      'replicate' — this host carries the FULL batch (eval path: every host
+                    iterates the whole split); each host serves its devices'
+                    slices via make_array_from_callback.
+    Both are collective-free by construction. device_put onto a multi-
+    process sharding is NOT usable here: it issues an assert_equal
+    allgather, and this transform runs in the loader's prefetch thread —
+    a collective there races the main thread's collectives and crashes
+    gloo/ICI with a payload mismatch (measured in the 2-process test)."""
+
+    def _globalize(arr):
+        if multihost == "shard":
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
 
     def transform(batch: Dict[str, np.ndarray]):
         device_part = {}
@@ -35,17 +56,43 @@ def make_device_transform(sharding=None, dtype=None):
                 if dtype is not None and arr.dtype == np.float32:
                     arr = arr.astype(dtype)
                 device_part[key] = arr
-        device_part = (
-            jax.device_put(device_part, sharding)
-            if sharding is not None
-            else jax.device_put(device_part)
-        )
+        if multihost is not None and jax.process_count() > 1:
+            device_part = {
+                k: _globalize(np.asarray(v)) for k, v in device_part.items()
+            }
+        else:
+            device_part = (
+                jax.device_put(device_part, sharding)
+                if sharding is not None
+                else jax.device_put(device_part)
+            )
         device_part["question_id"] = batch["question_id"]
         if "valid" in batch:
             device_part["valid_host"] = batch["valid"]
         return device_part
 
     return transform
+
+
+def _readback_stacked(outs):
+    """Stack per-batch eval outputs and bring them to THIS host.
+
+    Single-process: plain stack + device_get (the benched path, unchanged).
+    Multi-process (parallel/distributed.py): the outputs are sharded over a
+    global mesh, so device_get of non-addressable shards would fail — one
+    jitted stack re-replicates everything first (every host fed the full
+    batches in 'replicate' mode, so the values are identical everywhere)."""
+    if jax.process_count() == 1:
+        return jax.device_get(jax.tree.map(lambda *xs: jnp.stack(xs), *outs))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    first = jax.tree.leaves(outs[0])[0]
+    rep = NamedSharding(first.sharding.mesh, P())
+    stacked = jax.jit(
+        lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts),
+        out_shardings=rep,
+    )(outs)
+    return jax.device_get(stacked)
 
 
 def _split_batch(batch):
@@ -119,7 +166,7 @@ def _eval_loop(
         return {"n": 0, "eval_time": 0.0, "qa_per_sec": 0.0}, []
     # batches can differ in question length (bucketing) but outputs are
     # shape-uniform, so a single stacked transfer covers the epoch
-    stacked = jax.device_get(jax.tree.map(lambda *xs: jnp.stack(xs), *outs))
+    stacked = _readback_stacked(outs)
     n_seen = 0
     for i, (question_ids, valid_host) in enumerate(metas):
         pred = stacked["pred"][i]

@@ -51,8 +51,10 @@ def _resolve_visual(batch: Dict[str, jax.Array], features, allow_kernel: bool = 
     carries ``image_index`` instead of ``visual``, gather the region tensors
     from the device-resident table inside the jitted step — the host ships
     only token ids + indices (bytes, not the 36x2048 features). The gather
-    rides the scalar-prefetch Mosaic kernel (ops/gather.py), +24-38% over
-    jnp.take at bench shapes. ``features`` may be an int8-quantized
+    rides the scalar-prefetch Mosaic kernel (ops/gather.py), 1.25x over
+    jnp.take at bench shapes (KERNELS_r02.json, best-of-N — single-round
+    timings swing +-30% through the tunnel). ``features`` may be an
+    int8-quantized
     ``(values, scales)`` pair (engine.features_dtype=int8); dequantization
     happens after the gather, so only int8 bytes cross HBM."""
     if "visual" in batch:

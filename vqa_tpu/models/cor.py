@@ -16,7 +16,12 @@ TPU-first formulation (the reason this is not a translation):
   * per-step decisions are gated by a softmax over steps computed from the
     question vector.
 
-Exact per-equation parity with the reference's CoR module is pending a
+Equation-level pinning: a torch restatement of this chain (explicit O(N^2)
+pairwise loop, shared step weights, lineage-style 1x1 convs) lives in
+tests/test_importers_full_models.py::TCoR; a full converted checkpoint
+reproduces our logits to 1e-4 through the import CLI, so the factorized
+einsum is proven an exact reformulation, not an approximation. Verifying
+the equations against the reference's own CoR source remains blocked on a
 readable reference mount (SURVEY.md provenance [K]); the structure
 (q-guided pairwise relations, T-step object refresh, gated per-step
 decision sum) follows SURVEY.md C13 / BASELINE.json config #5.

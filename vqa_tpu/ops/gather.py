@@ -3,12 +3,13 @@
 gather_rows(table [N, R, D], idx [B]) -> out [B, R, D]
 
 The HBM-resident feature table is gathered by image index inside the jitted
-step (engine/steps._resolve_visual). XLA's jnp.take measures ~13x off HBM
-bandwidth at bench shapes (4.7ms for a 300MB gather, see perf ledger); this
-Mosaic program uses the scalar-prefetch gather pattern — the index vector is
-prefetched, each grid step's BlockSpec index_map selects table row idx[i],
-and Mosaic's pipeliner double-buffers the row DMAs — so the copy runs at
-DMA rate.
+step (engine/steps._resolve_visual). Measured best-of-N (KERNELS_r02.json,
+2048x[36,2048] bf16 rows from a 1024-image table): jnp.take 4.02ms vs this
+kernel 3.21ms (1.25x) — both bounded by the device's ~115GB/s random-row
+HBM read rate (multi-row DMA ADR in the perf ledger), not DMA-issue
+latency. This Mosaic program uses the scalar-prefetch gather pattern — the
+index vector is prefetched, each grid step's BlockSpec index_map selects
+table row idx[i], and Mosaic's pipeliner double-buffers the row DMAs.
 
 Backward (rarely taken: the table is data, not params) is the vjp of the
 jnp reference (scatter-add).
@@ -114,7 +115,7 @@ def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     # DMAs) was attempted and crashes this image's remote Mosaic compile
     # helper in EVERY form, including a single static copy (see perf ledger
     # gotchas); the scalar-prefetch BlockSpec gather here compiles and
-    # beats jnp.take by 24-38% at bench shapes (KERNELS_r02.json). The
+    # beats jnp.take by 1.25x at bench shapes (KERNELS_r02.json). The
     # custom_vjp wraps only the Pallas path; the reference path keeps
     # native AD.
     if pallas_enabled() and table.ndim >= 2 and idx.ndim == 1:

@@ -140,10 +140,11 @@ def _vmem_budget_block_b(T: int, H: int, itemsize: int) -> int:
 def _pallas_block_b(xg: jax.Array, wh: jax.Array) -> int:
     """Batch tile for the Mosaic program, or 0 when it should not dispatch.
 
-    Dispatch policy (measured, KERNELS_r02.json low-noise timing): XLA's
-    scan is ahead at every graded shape — 1.46 vs 1.97 ms at H=512, and
-    140 TFLOPs (device rate) at the flagship H=2400 where wh (46MB) exceeds
-    VMEM anyway. 'auto' therefore keeps XLA; 'on' forces the kernel."""
+    Dispatch policy (measured, KERNELS_r02.json best-of-N): the Mosaic
+    kernel only ever TIES XLA's scan (1.55 vs 1.56 ms at H=512) and XLA
+    runs 140 TFLOPs (device rate) at the flagship H=2400 where wh (46MB)
+    exceeds VMEM anyway. 'auto' therefore keeps XLA; 'on' forces the
+    kernel."""
     from vqa_tpu.ops import flags
 
     T, B, _ = xg.shape
