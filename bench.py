@@ -149,21 +149,53 @@ def main() -> None:
         assert preds.shape == (n_batches, BATCH)
         return n_batches * BATCH / (time.perf_counter() - t0)
 
+    # --- backlog calibration (VERDICT r2 weak 1) ----------------------------
+    # The tunneled device can carry un-drained work from earlier processes;
+    # a timed pass then measures the backlog, not this code (ledger: 53-110k
+    # swings on unchanged code, ~20min to drain). Before the measured passes,
+    # time a known-rate chained-GEMM probe; while it reads far off the
+    # device's ~97 TFLOPS sustained rate, idle-wait (bounded ~5 min total)
+    # and re-probe. BENCH_CAL=0 disables (e.g. CPU smoke runs).
+    cal_tflops, cal_waits = None, 0
+    if os.environ.get("BENCH_CAL", "1") != "0" and jax.devices()[0].platform == "tpu":
+        N_CAL, K_CAL = 4096, 96
+        a = jnp.ones((N_CAL, N_CAL), jnp.bfloat16)
+        bmat = jnp.ones((N_CAL, N_CAL), jnp.bfloat16) * 1e-3
+
+        @jax.jit
+        def probe(a, b):
+            def body(c, _):
+                return jnp.tanh(c @ b), None
+            c, _ = jax.lax.scan(body, a, None, length=K_CAL)
+            return c.astype(jnp.float32).sum()
+
+        _ = float(probe(a, bmat))  # compile + first execute off the clock
+        flops = 2.0 * K_CAL * N_CAL**3
+        deadline = time.perf_counter() + 300.0
+        while True:
+            t0 = time.perf_counter()
+            _ = float(probe(a, bmat))
+            cal_tflops = round(flops / (time.perf_counter() - t0) / 1e12, 1)
+            if cal_tflops >= 40.0 or time.perf_counter() > deadline:
+                break
+            cal_waits += 1
+            time.sleep(45.0)  # zero device traffic: let the backlog drain
+
     # best of 2 passes: the tunneled device interleaves leftover work from a
     # previous process into this one's timed region (root-caused r2 — the
     # 'batch-2048 collapse' was exactly this), so a single pass can undercount
     qa_per_sec = max(timed_pass(), timed_pass())
     per_chip = qa_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "vqa2_val_eval_throughput",
-                "value": round(per_chip, 1),
-                "unit": "QA pairs/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_QA_S, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "vqa2_val_eval_throughput",
+        "value": round(per_chip, 1),
+        "unit": "QA pairs/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_QA_S, 3),
+    }
+    if cal_tflops is not None:
+        record["cal_tflops"] = cal_tflops  # probe rate at measurement time
+        record["cal_waits"] = cal_waits    # 45s idle-waits before in-band
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
