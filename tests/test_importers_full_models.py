@@ -305,6 +305,20 @@ class TCoR(tnn.Module):
         return self.linear_classif(z)
 
 
+def test_pool_perm_rejects_nondivisible_width():
+    """A pool_perm k that does not divide the projection width is a spec
+    authoring error and must fail loudly, not silently mis-permute."""
+    from vqa_tpu import importers
+
+    sd = {"proj.weight": np.zeros((10, 4), np.float32)}
+    template = {"p": {"kernel": np.zeros((4, 10)), "bias": np.zeros(10)}}
+    with pytest.raises(ValueError, match="pool_perm"):
+        importers.model_from_torch(
+            sd, template,
+            [{"path": "p", "kind": "dense", "key": "proj", "pool_perm": 3}],
+        )
+
+
 def test_full_cor_checkpoint_import_matches_torch(tmp_path):
     V, E, H, dv, Rg, T = 14, 4, 6, 8, 6, 7
     D, steps, classif_h, nans = 8, 3, 9, 10

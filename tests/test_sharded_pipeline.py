@@ -53,6 +53,25 @@ def test_bad_shard_index_rejected(val_set):
         BatchIterator(val_set, 8, shard_index=3, shard_count=3)
 
 
+def test_shard_even_equalizes_step_counts(val_set):
+    """shard_even: every shard yields exactly floor(N/count) rows -> the same
+    batch count on every host (SPMD requirement, parallel/distributed.py);
+    50 examples / 3 shards / batch 8 -> 16 rows, 2 full batches each."""
+    counts, rows = [], []
+    for i in range(3):
+        it = BatchIterator(
+            val_set, 8, shuffle=True, seed=4, drop_last=True,
+            shard_index=i, shard_count=3, shard_even=True,
+        )
+        assert it.steps_per_epoch() == 2
+        batches = list(it.epoch(1))
+        counts.append(len(batches))
+        rows.extend(b["question_id"].tolist() for b in batches)
+    assert counts == [2, 2, 2]
+    flat = [q for batch in rows for q in batch]
+    assert len(flat) == len(set(flat)) == 48  # disjoint; 50-3*16=2 never drawn
+
+
 def test_bf16_train_step_learns():
     from vqa_tpu.config import ModelOptions, OptimOptions
     from vqa_tpu.engine.optim import criterion_factory, factory as optim_factory
