@@ -180,7 +180,7 @@ def main() -> None:
     exp.close()
 
     per_chip = metrics["qa_per_sec"] / jax.device_count()
-    print(json.dumps({
+    line = json.dumps({
         "metric": "e2e_eval_throughput",
         "arch": args.arch,
         "value": round(per_chip, 1),
@@ -189,7 +189,11 @@ def main() -> None:
         "batch": args.batch,
         "n": metrics["n"],
         "pipeline": "disk->prep->FeatureStore->BatchIterator->eval_step->readback",
-    }))
+    })
+    print(line)
+    if os.environ.get("E2E_APPEND"):  # per-round artifact assembly
+        with open(os.environ["E2E_APPEND"], "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -125,21 +125,23 @@ def main() -> None:
         )
         for dist in ("vqa_like", "uniform")
     }
-    print(
-        json.dumps(
-            {
-                "metric": f"train_step_throughput_{arch}",
-                "value": round(rates[SEQ], 1),
-                "unit": "QA pairs/sec/chip",
-                "t13_value": round(rates[13], 1),
-                "t7_value": round(rates[7], 1),
-                "bucketed_blend": blended,
-                "steps": STEPS,
-                "batch": BATCH,
-                "loss": round(loss, 3),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"train_step_throughput_{arch}",
+            "value": round(rates[SEQ], 1),
+            "unit": "QA pairs/sec/chip",
+            "t13_value": round(rates[13], 1),
+            "t7_value": round(rates[7], 1),
+            "bucketed_blend": blended,
+            "steps": STEPS,
+            "batch": BATCH,
+            "loss": round(loss, 3),
+        }
     )
+    print(line)
+    if os.environ.get("TRAIN_APPEND"):  # per-round artifact assembly
+        with open(os.environ["TRAIN_APPEND"], "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
