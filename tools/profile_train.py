@@ -46,8 +46,22 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", 1024))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
+SEQ_ENV = os.environ.get("BENCH_SEQ")
 NUM_WORDS, NUM_ANSWERS = 12_000, 2_000
 SEQ, REGIONS, DIM = 26, 36, 2048
+
+# per-arch profile config: YAML + which param subtrees the finer ablation
+# freezes ("mid" isolates the arch's middle stage: attention for the att
+# family, the relation chain for CoR, the co-attention stack for MFB)
+ARCHS = {
+    "mutan": {"yaml": "mutan_att.yaml", "mid": ("attention",)},
+    "cor": {"yaml": "cor.yaml",
+            "mid": ("obj_proj", "chain", "step_gates")},
+    "mfb": {"yaml": "mfb_coatt.yaml",
+            "mid": ("q_attention", "v_attention")},
+    "mfh": {"yaml": "mfh_coatt.yaml",
+            "mid": ("q_attention", "v_attention")},
+}
 
 
 def main() -> None:
@@ -59,8 +73,13 @@ def main() -> None:
 
     enable_compile_cache()
     jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_RNG", "rbg"))
+    arch = sys.argv[1] if len(sys.argv) > 1 else "mutan"
+    cfg = ARCHS[arch]
+    global SEQ
+    if SEQ_ENV:
+        SEQ = int(SEQ_ENV)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    opt = load_options(os.path.join(repo, "options/vqa2/mutan_att.yaml"))
+    opt = load_options(os.path.join(repo, "options/vqa2", cfg["yaml"]))
     model = factory(opt.model, NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
     criterion = criterion_factory()
 
@@ -87,7 +106,7 @@ def main() -> None:
             if "dropout" in k:
                 nodrop_overrides.append((f"model.{sec}.{k}", 0.0))
     opt_nd = load_options(
-        os.path.join(repo, "options/vqa2/mutan_att.yaml"), nodrop_overrides
+        os.path.join(repo, "options/vqa2", cfg["yaml"]), nodrop_overrides
     )
     model_nd = factory(opt_nd.model, NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
 
@@ -144,7 +163,7 @@ def main() -> None:
     @jax.jit
     def grads_fencatt(params, batch, carry):
         g = jax.grad(
-            lambda p: loss_fn(p, batch, stop=("encoder", "attention"))
+            lambda p: loss_fn(p, batch, stop=("encoder",) + cfg["mid"])
         )(params)
         return carry + optax.global_norm(g).astype(jnp.float32)
 
@@ -198,7 +217,7 @@ def main() -> None:
     t_full = clock("full_step", lambda s: full(s, batch), state0)
 
     report = {
-        "metric": "train_step_profile_mutan",
+        "metric": f"train_step_profile_{arch}",
         "batch": BATCH,
         "seq": SEQ,
         "ms_per_step": {
@@ -212,9 +231,10 @@ def main() -> None:
             "adam_update": round(t_full - t_grads, 2),
             # finer bwd decomposition (r3): deltas of frozen-subtree variants
             "encoder_bwd_incl_scatter": round(t_grads - t_fenc, 2),
-            "attention_bwd": round(t_fenc - t_fencatt, 2),
-            "tail_bwd_fusion_classifier": round(t_fencatt - t_fwd, 2),
+            "mid_bwd": round(t_fenc - t_fencatt, 2),
+            "tail_bwd": round(t_fencatt - t_fwd, 2),
             "dropout_total": round(t_grads - t_nodrop, 2),
+            "mid_is": "+".join(cfg["mid"]),
         },
         "derived_pct_of_full": {
             "fwd": round(100 * t_fwd / t_full, 1),
