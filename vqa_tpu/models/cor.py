@@ -94,6 +94,10 @@ class CoRModel(nn.Module):
     dropout: float
     classifier: Classifier
     l2norm_visual: bool = True
+    # T is small (3): unrolling the scan lets XLA fuse across chain steps
+    # and drop the per-step residual stacking in the backward (measured ADR
+    # in the perf ledger); semantics/params/grads identical either way
+    unroll: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,6 +125,7 @@ class CoRModel(nn.Module):
             in_axes=0,
             out_axes=0,
             length=self.steps,
+            unroll=self.steps if self.unroll else 1,
         )(self.dim_h, self.dropout, self.dtype, train, name="chain")
         _, (decisions, betas) = scan((objects, q), None)           # [T,B,D], [T,B,N]
 
@@ -159,5 +164,6 @@ class CoRModel(nn.Module):
                 dtype=dtype,
             ),
             l2norm_visual=opt.extra.get("l2norm_visual", True),
+            unroll=chain.get("unroll", True),
             dtype=dtype,
         )
