@@ -107,6 +107,32 @@ def test_cor_steps_change_output():
     assert p3["params"]["step_gates"]["kernel"].shape[-1] == 3
 
 
+def test_cor_unroll_matches_scan():
+    """chain.unroll (the r3 perf default) must be a pure compilation choice:
+    identical params tree and identical outputs vs the rolled lax.scan —
+    eval AND train (same dropout rng folding per step)."""
+    rng = np.random.default_rng(9)
+    visual, question, lengths = _inputs(rng)
+    opt_u, opt_s = _cor_opt(), _cor_opt()
+    opt_s.extra = {"chain": {"steps": 3, "unroll": False}}
+    mu, ms = factory(opt_u, VOCAB, NANS), factory(opt_s, VOCAB, NANS)
+    p = mu.init(jax.random.key(0), visual, question, lengths)
+    assert jax.tree.structure(p) == jax.tree.structure(
+        ms.init(jax.random.key(0), visual, question, lengths)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu.apply(p, visual, question, lengths)),
+        np.asarray(ms.apply(p, visual, question, lengths)),
+        rtol=1e-6, atol=1e-6,
+    )
+    drop = {"dropout": jax.random.key(7)}
+    np.testing.assert_allclose(
+        np.asarray(mu.apply(p, visual, question, lengths, train=True, rngs=drop)),
+        np.asarray(ms.apply(p, visual, question, lengths, train=True, rngs=drop)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_cor_visual_actually_used():
     rng = np.random.default_rng(4)
     visual, question, lengths = _inputs(rng)
