@@ -6,12 +6,25 @@ validated with XLA's forced host-platform device count (SURVEY.md section 4,
 jax import, hence this conftest.
 """
 
+import hashlib
 import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compile cache: model-test wall time is compile-dominated
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
+# persistent compile cache: model-test wall time is compile-dominated.
+# Keyed per host ISA — XLA:CPU AOT results are specialized to the compiling
+# machine's CPU features, and reusing another host's entries can SIGILL
+# (vqa_tpu.utils.cache.host_isa_tag has the full story; duplicated here
+# because this must run before any heavyweight import).
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next(line for line in _f if line.startswith("flags"))
+except (OSError, StopIteration):
+    _flags = "unknown"
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/root/.cache/jax_test_cache_" + hashlib.sha1(_flags.encode()).hexdigest()[:10],
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -7,15 +7,36 @@ prior sessions' work. Disable with VQA_TPU_COMPILE_CACHE=0.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import jax
 
 
+def host_isa_tag() -> str:
+    """CPU-feature fingerprint for cache keying.
+
+    XLA:CPU persists AOT results specialized to the *compiling* host's ISA;
+    loading them on a machine with different features logs cpu_aot_loader
+    "could lead to execution errors such as SIGILL" — and an intermittent
+    hard interpreter crash matching exactly that was observed when a cache
+    written on another host was reused. TPU executables don't care, but the
+    CPU-forced paths (tests, multichip dryrun) share these cache dirs, so
+    the default dirs are suffixed per host ISA."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+
+        flags = platform.machine() + " " + platform.processor()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache() -> None:
-    cache_dir = os.environ.get(
-        "VQA_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/vqa_tpu_jax")
-    )
+    cache_dir = os.environ.get("VQA_TPU_COMPILE_CACHE")
+    if cache_dir is None:
+        cache_dir = os.path.expanduser("~/.cache/vqa_tpu_jax_" + host_isa_tag())
     if not cache_dir or cache_dir == "0":
         return
     try:
