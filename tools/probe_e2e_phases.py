@@ -45,12 +45,18 @@ from vqa_tpu.engine.steps import create_state, make_eval_step
 from vqa_tpu.models import factory as model_factory
 from vqa_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+def _batch_arg() -> int:
+    # parsed lazily so importing this module (tests smoke-import tools/)
+    # never trips over an unrelated sys.argv
+    return int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = "/tmp/vqa_tpu_bench_fixture/1024x32768"
 
 
 def main() -> None:
+    BATCH = _batch_arg()
     opt = load_options(
         os.path.join(REPO, "options/vqa2/mutan_att.yaml"),
         overrides=[

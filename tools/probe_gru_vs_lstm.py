@@ -24,9 +24,6 @@ from vqa_tpu.utils import enable_compile_cache
 
 enable_compile_cache()
 
-T = int(sys.argv[1]) if len(sys.argv) > 1 else 26
-B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-H = int(sys.argv[3]) if len(sys.argv) > 3 else 2400
 REPS, ROUNDS = 16, 3
 
 
@@ -46,6 +43,9 @@ def time_fn(fn, *args):
 
 
 def main():
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 26
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    H = int(sys.argv[3]) if len(sys.argv) > 3 else 2400
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
     mask = jnp.asarray(np.ones((T, B, 1)), dt)
