@@ -56,7 +56,11 @@ def test_tp_layout_shards_big_2d_leaves():
     assert "model" not in str(emb.spec)
 
 
-def test_tp_train_step_matches_dp():
+import pytest
+
+
+@pytest.mark.parametrize("model_parallel", [2, 4])
+def test_tp_train_step_matches_dp(model_parallel):
     model, state, batch = _setup()
     step = make_train_step(criterion_factory(), donate=False)
     rng = jax.random.key(1)
@@ -66,7 +70,9 @@ def test_tp_train_step_matches_dp():
     batch_dp = jax.device_put(batch, batch_sharding(mesh_dp))
     new_dp, m_dp = step(state_dp, batch_dp, rng)
 
-    mesh_tp = make_mesh(jax.devices(), model_parallel=2)   # 4x2
+    # 4x2 and 2x4 meshes: tp=4 additionally exercises leaves whose dims
+    # divide by 2 but not 4 (they must fall back to replicated)
+    mesh_tp = make_mesh(jax.devices(), model_parallel=model_parallel)
     state_tp = shard_state_tp(state, mesh_tp, min_size=64)
     batch_tp = jax.device_put(batch, batch_sharding(mesh_tp))
     new_tp, m_tp = step(state_tp, batch_tp, rng)
