@@ -66,7 +66,7 @@ def test_two_process_distributed_training(tmp_path):
     # time out, and 1 device per host is the shape being tested anyway
     env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
 
-    def _launch(port):
+    def _launch():
         procs = [
             subprocess.Popen(
                 common + ["--process_id", str(i)],
@@ -77,7 +77,7 @@ def test_two_process_distributed_training(tmp_path):
         ]
         return procs, [p.communicate(timeout=600)[0] for p in procs]
 
-    procs, outs = _launch(port)
+    procs, outs = _launch()
     # jaxlib's gloo transport exchanges endpoint addresses through the
     # coordinator KV store with a HARDCODED 30s deadline; on a loaded machine
     # the two processes' first-collective times can skew past it (observed
@@ -87,7 +87,7 @@ def test_two_process_distributed_training(tmp_path):
         "Gloo context initialization failed" in o for o in outs
     ):
         common[common.index(f"127.0.0.1:{port}")] = f"127.0.0.1:{_free_port()}"
-        procs, outs = _launch(port)
+        procs, outs = _launch()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
 
