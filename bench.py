@@ -58,7 +58,38 @@ def _synthetic_eval_arrays(rng: np.random.Generator):
     return questions, lengths, image_index, table
 
 
+def _arm_watchdog():
+    """The tunneled device can WEDGE outright (observed: a remote-compile
+    helper hang left even cached-program executions blocking forever, across
+    processes). A hung bench stalls its caller indefinitely; instead, emit
+    the contractual single JSON line with an error marker and exit. Tune or
+    disable with BENCH_WATCHDOG_S (0 disables); the budget covers worst-case
+    cold remote compiles plus the calibration's bounded idle-waits."""
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+    if budget <= 0:
+        return None
+
+    def bail():
+        print(json.dumps({
+            "metric": "vqa2_val_eval_throughput",
+            "value": 0.0,
+            "unit": "QA pairs/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: device unresponsive for {budget:.0f}s "
+                     "(tunnel/remote-compile wedge — see perf ledger)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    watchdog = _arm_watchdog()
     from vqa_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -195,6 +226,8 @@ def main() -> None:
     if cal_tflops is not None:
         record["cal_tflops"] = cal_tflops  # probe rate at measurement time
         record["cal_waits"] = cal_waits    # 45s idle-waits before in-band
+    if watchdog is not None:
+        watchdog.cancel()
     print(json.dumps(record))
 
 
