@@ -131,6 +131,32 @@ def test_eval_buckets_knob(trained, fix, capsys):
     assert "val acc1" in capsys.readouterr().out
 
 
+def test_eval_bucketing_is_prediction_invariant(trained, fix, capsys):
+    """Bucketed eval is a pure perf transform: truncating a batch to its
+    covering rung drops only all-pad timesteps, and the masked scan ignores
+    those — so per-question answers must be IDENTICAL to the unbucketed
+    (single full-length rung) eval."""
+
+    def answers(buckets):
+        rc = main(_argv(fix, trained, [
+            "--resume", "best", "-e", "--opt", f"engine.eval_buckets={buckets}",
+        ]))
+        assert rc == 0
+        capsys.readouterr()
+        results_dir = os.path.join(trained, "results")
+        latest = max(
+            (os.path.join(results_dir, f) for f in os.listdir(results_dir)
+             if "val" in f),
+            key=os.path.getmtime,
+        )
+        with open(latest) as f:
+            return {r["question_id"]: r["answer"] for r in json.load(f)}
+
+    unbucketed = answers("[]")      # single maxlength rung
+    laddered = answers("[5,7,13]")  # fine ladder; maxlength appended
+    assert unbucketed == laddered
+
+
 def test_resume_is_bit_identical_to_straight_run(fix, tmp_path_factory):
     """Crash-resume determinism (SURVEY.md 5.3/5.4): training 2 epochs in one
     process vs 1 epoch -> --resume latest -> 1 more must produce BYTE-identical
