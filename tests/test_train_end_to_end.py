@@ -157,6 +157,23 @@ def test_eval_bucketing_is_prediction_invariant(trained, fix, capsys):
     assert unbucketed == laddered
 
 
+def test_skipthoughts_gru_trains_end_to_end(fix, tmp_path_factory, capsys):
+    """The skip-thoughts (GRU) encoder variant through the full CLI — the
+    lineage's best-accuracy configs use it (SURVEY.md C8); bench_train/
+    bench_eval measure it as 'mutan_st' but only tools exercised it e2e."""
+    logs = str(tmp_path_factory.mktemp("st"))
+    rc = main(_argv(fix, logs, [
+        "--epochs", "1",
+        "--opt", "model.seq2vec.arch=skipthoughts",
+        "--opt", "model.seq2vec.emb_size=16",
+        "--opt", "model.seq2vec.hidden_size=32",
+    ]))
+    assert rc == 0
+    assert "val: acc1" in capsys.readouterr().out
+    with open(os.path.join(logs, "ckpt", "info.json")) as f:
+        assert json.load(f)["latest"] == 0
+
+
 def test_resume_is_bit_identical_to_straight_run(fix, tmp_path_factory):
     """Crash-resume determinism (SURVEY.md 5.3/5.4): training 2 epochs in one
     process vs 1 epoch -> --resume latest -> 1 more must produce BYTE-identical
