@@ -22,3 +22,9 @@ TOOLS = sorted(
 def test_tool_imports(name):
     mod = importlib.import_module(f"tools.{name}")
     assert mod is not None
+
+
+@pytest.mark.parametrize("name", ["bench", "train", "extract", "__graft_entry__"])
+def test_root_script_imports(name):
+    mod = importlib.import_module(name)
+    assert mod is not None
