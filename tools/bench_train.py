@@ -62,9 +62,12 @@ def main() -> None:
     arch = sys.argv[1] if len(sys.argv) > 1 else "mutan"
     # mutan_st: the skip-thoughts encoder variant (620/2400 GRU) the
     # lineage's best-accuracy configs use — exercises ops/gru.py at scale
-    yaml = {"mutan": "mutan_att.yaml", "cor": "cor.yaml",
-            "mfb": "mfb_coatt.yaml", "mfh": "mfh_coatt.yaml",
-            "mutan_st": "mutan_att.yaml"}[arch]
+    yamls = {"mutan": "mutan_att.yaml", "cor": "cor.yaml",
+             "mfb": "mfb_coatt.yaml", "mfh": "mfh_coatt.yaml",
+             "mutan_st": "mutan_att.yaml"}
+    if arch not in yamls:
+        raise SystemExit(f"unknown arch {arch!r}; one of {sorted(yamls)}")
+    yaml = yamls[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     opt = load_options(
         os.path.join(repo, "options/vqa2", yaml),
