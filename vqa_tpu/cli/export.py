@@ -1,0 +1,67 @@
+"""Export CLI: freeze a run into a self-contained AOT serving artifact.
+
+  python -m vqa_tpu.cli.export --dir_logs logs/vqa2/mutan_att --out exported/ \
+      [--path_opt options/vqa2/mutan_att.yaml] [--resume best | --no_resume] \
+      [--batch 64]
+
+Writes ``<out>/program.jaxexport`` (serialized StableHLO of the jitted
+forward at the fixed serving shape, weights baked in) + ``<out>/meta.json``
+(vocabs, shapes, tokenizer flavor, provenance). Serve it with
+
+  python -m vqa_tpu.cli.serve --exported exported/ [--coco_dir ...]
+
+See vqa_tpu/export.py for the format; beyond-reference capability
+(SURVEY.md C23 serving-side complement).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir_logs", required=True)
+    p.add_argument("--path_opt", default=None,
+                   help="defaults to the run dir's own options.yaml")
+    p.add_argument("--resume", default="best", help="best | latest | <epoch>")
+    p.add_argument("--no_resume", action="store_true",
+                   help="export init params (a model.pretrained_params import)")
+    p.add_argument("--out", required=True, help="output artifact directory")
+    p.add_argument("--batch", type=int, default=64,
+                   help="frozen serving batch (requests are padded/chunked)")
+    p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
+                   help="force the jax backend (config API; see cli/train.py). "
+                        "The artifact itself is lowered for cpu AND tpu "
+                        "regardless — this only picks where the export runs")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from vqa_tpu.export import save_export
+    from vqa_tpu.predictor import Predictor
+    from vqa_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    predictor = Predictor.from_run(
+        args.dir_logs, args.path_opt,
+        resume=None if args.no_resume else args.resume,
+    )
+    meta = save_export(args.out, predictor, batch=args.batch)
+    print(
+        f"exported {meta['model_arch']} (batch {meta['batch']}, "
+        f"seq {meta['maxlength']}, features {meta['feature_shape']}, "
+        f"{meta['num_answers']} answers) -> {args.out}",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

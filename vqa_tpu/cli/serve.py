@@ -5,6 +5,12 @@ complement to SURVEY.md C23's demo; the Predictor API made deployable).
       [--resume best | --no_resume] [--host 127.0.0.1] [--port 8080] \
       [--max_batch 64]
 
+AOT mode — serve a frozen ``cli.export`` artifact instead of a run dir (no
+model code on the load path, zero runtime compiles; batch is fixed at the
+exported shape):
+
+  python -m vqa_tpu.cli.serve --exported exported/ [--coco_dir data/coco]
+
 Endpoints (JSON over POST, plus GET /healthz):
   /answer  {"question": str, "image": str, "topk"?: int}
            -> {"answers": [[answer, prob], ...]}
@@ -134,25 +140,45 @@ def build_server(service: AnswerService, host: str, port: int) -> ThreadingHTTPS
 
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dir_logs", required=True)
+    p.add_argument("--dir_logs", default=None)
+    p.add_argument("--exported", default=None,
+                   help="serve a cli.export artifact dir instead of a run dir")
+    p.add_argument("--coco_dir", default=None,
+                   help="feature-table dir override for --exported mode")
     p.add_argument("--path_opt", default=None,
                    help="defaults to the run dir's own options.yaml")
     p.add_argument("--resume", default="best", help="best | latest | <epoch>")
     p.add_argument("--no_resume", action="store_true",
                    help="serve init params (a model.pretrained_params import)")
+    p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
+                   help="force the jax backend (config API; see cli/train.py)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=64)
     args = p.parse_args(argv)
 
-    from vqa_tpu.predictor import Predictor
     from vqa_tpu.utils import enable_compile_cache
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     enable_compile_cache()
-    predictor = Predictor.from_run(
-        args.dir_logs, args.path_opt,
-        resume=None if args.no_resume else args.resume,
-    )
+    if (args.exported is None) == (args.dir_logs is None):
+        p.error("exactly one of --dir_logs / --exported is required")
+    if args.exported is not None:
+        from vqa_tpu.export import load_export
+
+        predictor = load_export(args.exported, coco_dir=args.coco_dir)
+        # the exported program's batch dim is frozen; serve at exactly it
+        args.max_batch = predictor.batch
+    else:
+        from vqa_tpu.predictor import Predictor
+
+        predictor = Predictor.from_run(
+            args.dir_logs, args.path_opt,
+            resume=None if args.no_resume else args.resume,
+        )
     service = AnswerService(predictor, max_batch=args.max_batch)
     print("warming up (one compile at the fixed serving shape)...", flush=True)
     service.warmup()

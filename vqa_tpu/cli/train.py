@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--workers", type=int, default=None, help="accepted for CLI compat")
     p.add_argument("--profile_dir", default=None)
+    p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
+                   help="force the jax backend via the config API (reliable "
+                        "even where site hooks override JAX_PLATFORMS; e.g. "
+                        "--platform cpu for an offline debug run)")
     p.add_argument(
         "--opt", action="append", default=[], metavar="KEY=VAL",
         help="override any config leaf, e.g. --opt model.fusion.R=10",
@@ -161,6 +165,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     from vqa_tpu.utils import enable_compile_cache
 
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        # before any device use (backends initialize once); the config API
+        # wins over env vars even where a site hook rewrites JAX_PLATFORMS
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
         # must run before any jax device use (backends initialize once)
         from vqa_tpu.parallel.distributed import initialize as dist_init

@@ -85,6 +85,14 @@ class FeatureStore:
     def feature_shape(self) -> tuple:
         return tuple(self.shape[1:])
 
+    @property
+    def names(self) -> list:
+        """Image names ordered by row index (aliases keep the first name)."""
+        out: Dict[int, str] = {}
+        for name, idx in self._name_to_index.items():
+            out.setdefault(idx, name)
+        return [out[i] for i in sorted(out)]
+
     def index_of(self, names: Sequence[str]) -> np.ndarray:
         try:
             return np.asarray([self._name_to_index[n] for n in names], dtype=np.int32)

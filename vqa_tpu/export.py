@@ -1,0 +1,235 @@
+"""AOT model export / serving artifacts via ``jax.export``.
+
+Serving-side capability beyond the reference's demo scripts (SURVEY.md C23;
+the reference has no deployment story — this is the TPU-native production
+complement to ``cli/serve.py``): a trained run is frozen into a
+self-contained directory
+
+    <out>/
+      program.jaxexport   serialized StableHLO of the jitted forward at a
+                          fixed serving shape, with the checkpoint's weights
+                          baked in as program constants
+      meta.json           question vocab, answer vocab, shapes, tokenizer
+                          flavor, feature-table coordinates, provenance
+
+Why AOT for TPU serving: the artifact is compiled ONCE at export time and
+the serving host never traces Python, never imports the model zoo (flax /
+vqa_tpu.models are not touched on the load path — asserted by
+tests/test_export.py), and cannot silently recompile at a new shape: the
+batch dimension is frozen, so latency is flat by construction (the same
+fixed-shape discipline cli/serve.py enforces dynamically). Version caveat:
+``jax.export`` guarantees forward compatibility for serialized programs, and
+`meta.json` records the exporting jax version for auditability.
+
+Loading needs only jax + the tokenizer; features still come from the
+FeatureStore named in the meta (weights travel inside the program, image
+features do not).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import types
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROGRAM_FILE = "program.jaxexport"
+META_FILE = "meta.json"
+
+
+def export_forward(
+    model,
+    params,
+    *,
+    batch: int,
+    seq: int,
+    feature_shape: Sequence[int],
+    feat_dtype: Any = jnp.float32,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+):
+    """Export ``model.apply`` at a fixed serving shape.
+
+    ``params`` are closed over, so ``jax.export`` lowers them into StableHLO
+    constants: the serialized program is self-contained (inference-only — no
+    donation, no trainable state). Lowered for both cpu and tpu by default
+    (the production-path forward is pure XLA — the Pallas dispatch layer
+    keeps kernels off the eval graph per the measured ADRs — so
+    cross-platform lowering is exact)."""
+    from jax import export as jax_export
+
+    def fn(visual, question, lengths):
+        return model.apply({"params": params}, visual, question, lengths)
+
+    args = (
+        jax.ShapeDtypeStruct((batch, *tuple(feature_shape)), feat_dtype),
+        jax.ShapeDtypeStruct((batch, seq), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+    )
+    return jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
+
+
+def save_export(out_dir: str, predictor, batch: int = 64) -> Dict[str, Any]:
+    """Freeze a :class:`~vqa_tpu.predictor.Predictor` into ``out_dir``.
+
+    Returns the meta dict (also written to ``meta.json``).
+    """
+    ds, opt = predictor.dataset, predictor.opt
+    feature_shape = list(ds.features.feature_shape)
+    exported = export_forward(
+        predictor.model,
+        predictor.params,
+        batch=batch,
+        seq=opt.vqa.maxlength,
+        feature_shape=feature_shape,
+        feat_dtype=jnp.float32,
+    )
+    meta = {
+        "format": "vqa_tpu.export/1",
+        "batch": batch,
+        "maxlength": opt.vqa.maxlength,
+        "pad": opt.vqa.pad,
+        "nlp": opt.vqa.nlp,
+        "feature_shape": feature_shape,
+        "num_answers": ds.num_answers,
+        "aid_to_ans": list(ds.vocabs.aid_to_ans),
+        "word_to_wid": dict(ds.vocabs.word_to_wid),
+        "model_arch": opt.model.arch,
+        "engine_dtype": opt.engine.dtype,
+        "coco": {"dir": opt.coco.dir, "arch": opt.coco.arch, "mode": opt.coco.mode},
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, PROGRAM_FILE), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+class _ServingDataset:
+    """Duck-typed stand-in for the dataset attributes the serving layer uses
+    (AnswerService/cli.serve touch ``.num_answers``, ``.vocabs``,
+    ``.features`` and ``.split.image_names`` only)."""
+
+    def __init__(self, features, aid_to_ans, word_to_wid):
+        self.features = features
+        self.num_answers = len(aid_to_ans)
+        self.vocabs = types.SimpleNamespace(
+            aid_to_ans=list(aid_to_ans), word_to_wid=dict(word_to_wid)
+        )
+        self.split = types.SimpleNamespace(image_names=features.names)
+
+
+class ExportedPredictor:
+    """Predictor-compatible inference over a saved export (no model code).
+
+    Mirrors :class:`~vqa_tpu.predictor.Predictor`'s serving surface
+    (``answer_batch`` / ``answer`` / ``encode_questions`` / ``.dataset``), so
+    ``cli.serve.AnswerService`` works unchanged on top. The forward runs the
+    deserialized fixed-shape program; arbitrary request sizes are padded and
+    chunked to the exported batch.
+    """
+
+    def __init__(self, export_dir: str, features=None):
+        from jax import export as jax_export
+
+        with open(os.path.join(export_dir, META_FILE)) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format") != "vqa_tpu.export/1":
+            raise ValueError(
+                f"unknown export format {self.meta.get('format')!r} in {export_dir}"
+            )
+        with open(os.path.join(export_dir, PROGRAM_FILE), "rb") as f:
+            self._exported = jax_export.deserialize(bytearray(f.read()))
+        # one executable, cached across calls (Exported.call retraces per call)
+        self._call = jax.jit(self._exported.call)
+        self.batch = int(self.meta["batch"])
+        self.dataset = (
+            _ServingDataset(
+                features, self.meta["aid_to_ans"], self.meta["word_to_wid"]
+            )
+            if features is not None
+            else None
+        )
+        self._tok = None
+
+    # -- question encoding (vocab travels in meta.json) ----------------------
+    def encode_questions(self, questions: Sequence[str]):
+        from vqa_tpu.datasets.processed import encode_question
+        from vqa_tpu.datasets.tokenizer import get_tokenizer
+
+        if self._tok is None:
+            self._tok = get_tokenizer(self.meta["nlp"])
+        word_to_wid = self.meta["word_to_wid"]
+        rows, lengths = [], []
+        for q in questions:
+            row, length = encode_question(
+                self._tok(q), word_to_wid, self.meta["maxlength"], self.meta["pad"]
+            )
+            rows.append(row)
+            lengths.append(length)
+        return jnp.asarray(np.stack(rows)), jnp.asarray(lengths, jnp.int32)
+
+    # -- fixed-shape forward --------------------------------------------------
+    def logits(self, visual, question, lengths) -> np.ndarray:
+        """Forward n <= exported-batch rows (pads to the frozen shape)."""
+        n = question.shape[0]
+        if n > self.batch:
+            raise ValueError(f"{n} rows > exported batch {self.batch}; chunk first")
+        pad = self.batch - n
+        if pad:
+            visual = np.concatenate([visual, np.repeat(visual[-1:], pad, axis=0)])
+            question = jnp.concatenate([question, jnp.repeat(question[-1:], pad, 0)])
+            lengths = jnp.concatenate([lengths, jnp.repeat(lengths[-1:], pad, 0)])
+        out = self._call(
+            jnp.asarray(visual, jnp.float32),
+            jnp.asarray(question, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+        )
+        return np.asarray(out)[:n]
+
+    # -- Predictor-compatible serving surface ---------------------------------
+    def answer_batch(
+        self, questions: Sequence[str], image_names: Sequence[str], topk: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        if self.dataset is None:
+            raise ValueError("ExportedPredictor was loaded without a feature store")
+        out: List[List[Tuple[str, float]]] = []
+        aid_to_ans = self.dataset.vocabs.aid_to_ans
+        for start in range(0, len(questions), self.batch):
+            qs = list(questions[start : start + self.batch])
+            ims = list(image_names[start : start + self.batch])
+            visual = self.dataset.features.get(self.dataset.features.index_of(ims))
+            q, lengths = self.encode_questions(qs)
+            logits = self.logits(visual, q, lengths)
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+            for row in probs:
+                top = np.argsort(-row)[:topk]
+                out.append([(aid_to_ans[a], float(row[a])) for a in top])
+        return out
+
+    def answer(self, question: str, image_name: str, topk: int = 5):
+        return self.answer_batch([question], [image_name], topk)[0]
+
+
+def load_export(
+    export_dir: str,
+    features=None,
+    coco_dir: Optional[str] = None,
+) -> ExportedPredictor:
+    """Load an export. ``features`` may be a ready FeatureStore; otherwise the
+    meta's feature-table coordinates are used (``coco_dir`` overrides the
+    recorded directory — the table rarely lives at the training-time path on
+    a serving host)."""
+    if features is None:
+        from vqa_tpu.datasets.features import FeatureStore
+
+        with open(os.path.join(export_dir, META_FILE)) as f:
+            coco = json.load(f)["coco"]
+        features = FeatureStore(coco_dir or coco["dir"], coco["arch"], coco["mode"])
+    return ExportedPredictor(export_dir, features=features)
