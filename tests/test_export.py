@@ -135,6 +135,30 @@ def test_serve_exported_mode(exported_run):
         server.server_close()
 
 
+def test_bf16_weights_export(exported_run):
+    """--weights_dtype bfloat16 halves the artifact and stays close in
+    logits (weights-only cast; inputs/outputs keep their dtypes)."""
+    d, out, predictor = exported_run
+    out16 = os.path.join(d, "exported_bf16")
+    rc = export_main([
+        "--dir_logs", os.path.join(d, "logs"), "--out", out16,
+        "--batch", "4", "--weights_dtype", "bfloat16",
+    ])
+    assert rc == 0
+    with open(os.path.join(out16, "meta.json")) as f:
+        assert json.load(f)["weights_dtype"] == "bfloat16"
+    size32 = os.path.getsize(os.path.join(out, "program.jaxexport"))
+    size16 = os.path.getsize(os.path.join(out16, "program.jaxexport"))
+    assert size16 < 0.75 * size32, (size16, size32)
+    ep32, ep16 = load_export(out), load_export(out16)
+    names = predictor.dataset.split.image_names[:4]
+    questions = ["what is shown"] * 4
+    q, lengths = predictor.encode_questions(questions)
+    visual = predictor.dataset.features.get(predictor.dataset.features.index_of(names))
+    l32, l16 = ep32.logits(visual, q, lengths), ep16.logits(visual, q, lengths)
+    np.testing.assert_allclose(l16, l32, atol=0.05)
+
+
 def test_serve_cli_arg_validation():
     from vqa_tpu.cli.serve import main as serve_main
 

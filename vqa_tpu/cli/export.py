@@ -31,6 +31,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", required=True, help="output artifact directory")
     p.add_argument("--batch", type=int, default=64,
                    help="frozen serving batch (requests are padded/chunked)")
+    p.add_argument("--weights_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="cast the baked-in weights (bfloat16 halves the "
+                        "artifact; the TPU-native serving dtype)")
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py). "
                         "The artifact itself is lowered for cpu AND tpu "
@@ -51,11 +55,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         args.dir_logs, args.path_opt,
         resume=None if args.no_resume else args.resume,
     )
-    meta = save_export(args.out, predictor, batch=args.batch)
+    meta = save_export(
+        args.out, predictor, batch=args.batch, weights_dtype=args.weights_dtype
+    )
     print(
         f"exported {meta['model_arch']} (batch {meta['batch']}, "
         f"seq {meta['maxlength']}, features {meta['feature_shape']}, "
-        f"{meta['num_answers']} answers) -> {args.out}",
+        f"{meta['num_answers']} answers, weights {meta['weights_dtype']}) "
+        f"-> {args.out}",
         flush=True,
     )
     return 0

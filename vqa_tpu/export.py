@@ -72,16 +72,29 @@ def export_forward(
     return jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
 
 
-def save_export(out_dir: str, predictor, batch: int = 64) -> Dict[str, Any]:
+def save_export(
+    out_dir: str, predictor, batch: int = 64, weights_dtype: Optional[str] = None
+) -> Dict[str, Any]:
     """Freeze a :class:`~vqa_tpu.predictor.Predictor` into ``out_dir``.
+
+    ``weights_dtype='bfloat16'`` casts the baked-in weights (halves the
+    artifact; the TPU-native serving dtype). Inputs/outputs keep their
+    original dtypes — only the constants change.
 
     Returns the meta dict (also written to ``meta.json``).
     """
     ds, opt = predictor.dataset, predictor.opt
     feature_shape = list(ds.features.feature_shape)
+    params = predictor.params
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        params = jax.tree.map(
+            lambda p: p.astype(wd) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
     exported = export_forward(
         predictor.model,
-        predictor.params,
+        params,
         batch=batch,
         seq=opt.vqa.maxlength,
         feature_shape=feature_shape,
@@ -99,6 +112,7 @@ def save_export(out_dir: str, predictor, batch: int = 64) -> Dict[str, Any]:
         "word_to_wid": dict(ds.vocabs.word_to_wid),
         "model_arch": opt.model.arch,
         "engine_dtype": opt.engine.dtype,
+        "weights_dtype": weights_dtype or "unchanged",
         "coco": {"dir": opt.coco.dir, "arch": opt.coco.arch, "mode": opt.coco.mode},
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
