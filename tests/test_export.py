@@ -159,6 +159,47 @@ def test_bf16_weights_export(exported_run):
     np.testing.assert_allclose(l16, l32, atol=0.05)
 
 
+def test_external_params_export(exported_run):
+    """--params external: weight-free program + sidecar npz reproduces the
+    baked artifact exactly (f32) and losslessly through the bf16 round-trip
+    (npz stores f32; bf16->f32->bf16 is exact)."""
+    d, out, predictor = exported_run
+    names = predictor.dataset.split.image_names[:4]
+    q, lengths = predictor.encode_questions(["is it outdoors"] * 4)
+    visual = predictor.dataset.features.get(predictor.dataset.features.index_of(names))
+    baked = load_export(out).logits(visual, q, lengths)
+
+    out_ext = os.path.join(d, "exported_ext")
+    rc = export_main([
+        "--dir_logs", os.path.join(d, "logs"), "--out", out_ext,
+        "--batch", "4", "--params", "external",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_ext, "params.npz"))
+    ep = load_export(out_ext)
+    np.testing.assert_array_equal(ep.logits(visual, q, lengths), baked)
+
+    out_ext16 = os.path.join(d, "exported_ext_bf16")
+    rc = export_main([
+        "--dir_logs", os.path.join(d, "logs"), "--out", out_ext16,
+        "--batch", "4", "--params", "external", "--weights_dtype", "bfloat16",
+    ])
+    assert rc == 0
+    ep16 = load_export(out_ext16)
+    baked16_dir = os.path.join(d, "exported_bf16")
+    if not os.path.exists(baked16_dir):  # no ordering dependence on the bf16 test
+        export_main(["--dir_logs", os.path.join(d, "logs"), "--out", baked16_dir,
+                     "--batch", "4", "--weights_dtype", "bfloat16"])
+    baked16 = load_export(baked16_dir)
+    np.testing.assert_array_equal(
+        ep16.logits(visual, q, lengths), baked16.logits(visual, q, lengths)
+    )
+    # the external program itself carries no weights: it must be much
+    # smaller than the baked one
+    assert os.path.getsize(os.path.join(out_ext, "program.jaxexport")) < \
+        0.5 * os.path.getsize(os.path.join(out, "program.jaxexport"))
+
+
 def test_serve_cli_arg_validation():
     from vqa_tpu.cli.serve import main as serve_main
 

@@ -35,6 +35,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    choices=["float32", "bfloat16"],
                    help="cast the baked-in weights (bfloat16 halves the "
                         "artifact; the TPU-native serving dtype)")
+    p.add_argument("--params", default="baked", choices=["baked", "external"],
+                   help="baked: weights become program constants (one "
+                        "self-contained file). external: weight-free program "
+                        "+ sidecar params.npz — use for big models or "
+                        "compile-request-size-limited environments")
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py). "
                         "The artifact itself is lowered for cpu AND tpu "
@@ -56,7 +61,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         resume=None if args.no_resume else args.resume,
     )
     meta = save_export(
-        args.out, predictor, batch=args.batch, weights_dtype=args.weights_dtype
+        args.out, predictor, batch=args.batch,
+        weights_dtype=args.weights_dtype, params_mode=args.params,
     )
     print(
         f"exported {meta['model_arch']} (batch {meta['batch']}, "

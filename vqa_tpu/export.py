@@ -39,6 +39,29 @@ import numpy as np
 
 PROGRAM_FILE = "program.jaxexport"
 META_FILE = "meta.json"
+PARAMS_FILE = "params.npz"
+
+
+def _flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if hasattr(v, "items"):  # nested dict / FrozenDict
+            out.update(_flatten_params(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_params(flat) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key in (flat.files if hasattr(flat, "files") else flat.keys()):
+        parts = key.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(flat[key])
+    return tree
 
 
 def export_forward(
@@ -50,36 +73,74 @@ def export_forward(
     feature_shape: Sequence[int],
     feat_dtype: Any = jnp.float32,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    params_mode: str = "baked",
 ):
     """Export ``model.apply`` at a fixed serving shape.
 
-    ``params`` are closed over, so ``jax.export`` lowers them into StableHLO
-    constants: the serialized program is self-contained (inference-only — no
-    donation, no trainable state). Lowered for both cpu and tpu by default
-    (the production-path forward is pure XLA — the Pallas dispatch layer
-    keeps kernels off the eval graph per the measured ADRs — so
-    cross-platform lowering is exact)."""
+    ``params_mode='baked'`` closes over the params, so ``jax.export`` lowers
+    them into StableHLO constants: ONE self-contained file (inference-only —
+    no donation, no trainable state). ``'external'`` exports
+    ``fn(params, ...)`` instead — the program stays weight-free and the
+    params ship as a sidecar npz; use this for big models or environments
+    that cap compile-request sizes (constants embed in the HLO). Lowered for
+    both cpu and tpu by default (the production-path forward is pure XLA —
+    the Pallas dispatch layer keeps kernels off the eval graph per the
+    measured ADRs — so cross-platform lowering is exact)."""
     from jax import export as jax_export
-
-    def fn(visual, question, lengths):
-        return model.apply({"params": params}, visual, question, lengths)
 
     args = (
         jax.ShapeDtypeStruct((batch, *tuple(feature_shape)), feat_dtype),
         jax.ShapeDtypeStruct((batch, seq), jnp.int32),
         jax.ShapeDtypeStruct((batch,), jnp.int32),
     )
-    return jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
+    if params_mode == "baked":
+
+        def fn(visual, question, lengths):
+            return model.apply({"params": params}, visual, question, lengths)
+
+        return jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
+    if params_mode == "external":
+
+        def fn_ext(p, visual, question, lengths):
+            return model.apply({"params": p}, visual, question, lengths)
+
+        # normalize to a plain nested dict so the load-side npz rebuild
+        # produces the exact pytree structure the program was traced with
+        params = _unflatten_params(_flatten_params(params))
+        p_struct = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+        )
+        return jax_export.export(jax.jit(fn_ext), platforms=list(platforms))(
+            p_struct, *args
+        )
+    raise ValueError(f"params_mode must be 'baked' or 'external', got {params_mode!r}")
+
+
+def _cast_floating(params, dtype):
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params,
+    )
 
 
 def save_export(
-    out_dir: str, predictor, batch: int = 64, weights_dtype: Optional[str] = None
+    out_dir: str,
+    predictor,
+    batch: int = 64,
+    weights_dtype: Optional[str] = None,
+    params_mode: str = "baked",
 ) -> Dict[str, Any]:
     """Freeze a :class:`~vqa_tpu.predictor.Predictor` into ``out_dir``.
 
-    ``weights_dtype='bfloat16'`` casts the baked-in weights (halves the
+    ``weights_dtype='bfloat16'`` casts the weights (halves the baked
     artifact; the TPU-native serving dtype). Inputs/outputs keep their
-    original dtypes — only the constants change.
+    original dtypes — only the weights change.
+
+    ``params_mode='external'`` keeps the program weight-free and writes the
+    params to a sidecar ``params.npz`` (stored as float32 — bfloat16 has no
+    portable npz encoding — and re-cast per ``weights_dtype`` at load, which
+    is lossless). Use for big models or environments that cap
+    compile-request sizes.
 
     Returns the meta dict (also written to ``meta.json``).
     """
@@ -87,11 +148,7 @@ def save_export(
     feature_shape = list(ds.features.feature_shape)
     params = predictor.params
     if weights_dtype is not None:
-        wd = jnp.dtype(weights_dtype)
-        params = jax.tree.map(
-            lambda p: p.astype(wd) if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            params,
-        )
+        params = _cast_floating(params, jnp.dtype(weights_dtype))
     exported = export_forward(
         predictor.model,
         params,
@@ -99,6 +156,7 @@ def save_export(
         seq=opt.vqa.maxlength,
         feature_shape=feature_shape,
         feat_dtype=jnp.float32,
+        params_mode=params_mode,
     )
     meta = {
         "format": "vqa_tpu.export/1",
@@ -113,6 +171,7 @@ def save_export(
         "model_arch": opt.model.arch,
         "engine_dtype": opt.engine.dtype,
         "weights_dtype": weights_dtype or "unchanged",
+        "params": params_mode,
         "coco": {"dir": opt.coco.dir, "arch": opt.coco.arch, "mode": opt.coco.mode},
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
@@ -120,6 +179,15 @@ def save_export(
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, PROGRAM_FILE), "wb") as f:
         f.write(exported.serialize())
+    if params_mode == "external":
+        flat = _flatten_params(params)
+        np.savez(
+            os.path.join(out_dir, PARAMS_FILE),
+            **{
+                k: (v.astype(np.float32) if v.dtype.name == "bfloat16" else v)
+                for k, v in flat.items()
+            },
+        )
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(meta, f)
     return meta
@@ -162,6 +230,15 @@ class ExportedPredictor:
             self._exported = jax_export.deserialize(bytearray(f.read()))
         # one executable, cached across calls (Exported.call retraces per call)
         self._call = jax.jit(self._exported.call)
+        self._params = None
+        if self.meta.get("params", "baked") == "external":
+            with np.load(os.path.join(export_dir, PARAMS_FILE)) as flat:
+                self._params = _unflatten_params(flat)
+            if self.meta.get("weights_dtype") == "bfloat16":
+                # npz stores float32 (no portable bf16 encoding); the f32
+                # round-trip of a bf16 value is exact, so this cast restores
+                # the traced dtype losslessly
+                self._params = _cast_floating(self._params, jnp.bfloat16)
         self.batch = int(self.meta["batch"])
         self.dataset = (
             _ServingDataset(
@@ -200,11 +277,15 @@ class ExportedPredictor:
             visual = np.concatenate([visual, np.repeat(visual[-1:], pad, axis=0)])
             question = jnp.concatenate([question, jnp.repeat(question[-1:], pad, 0)])
             lengths = jnp.concatenate([lengths, jnp.repeat(lengths[-1:], pad, 0)])
-        out = self._call(
+        args = (
             jnp.asarray(visual, jnp.float32),
             jnp.asarray(question, jnp.int32),
             jnp.asarray(lengths, jnp.int32),
         )
+        if self._params is not None:
+            out = self._call(self._params, *args)
+        else:
+            out = self._call(*args)
         return np.asarray(out)[:n]
 
     # -- Predictor-compatible serving surface ---------------------------------
