@@ -18,7 +18,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # because this must run before any heavyweight import).
 try:
     with open("/proc/cpuinfo") as _f:
-        _flags = next(line for line in _f if line.startswith("flags"))
+        _lines = _f.readlines()
+    # flags + model name: identical flags on different uarches still yield
+    # different XLA target features (prefer-no-gather/-scatter are per-uarch;
+    # observed as a cross-machine AOT feature-mismatch warning)
+    _flags = next(line for line in _lines if line.startswith("flags"))
+    _flags += next((line for line in _lines if line.startswith("model name")), "")
 except (OSError, StopIteration):
     _flags = "unknown"
 os.environ.setdefault(

@@ -22,10 +22,18 @@ def host_isa_tag() -> str:
     hard interpreter crash matching exactly that was observed when a cache
     written on another host was reused. TPU executables don't care, but the
     CPU-forced paths (tests, multichip dryrun) share these cache dirs, so
-    the default dirs are suffixed per host ISA."""
+    the default dirs are suffixed per host ISA.
+
+    The fingerprint hashes the cpuinfo *flags* line AND the *model name*:
+    two machines with identical flags but different microarchitectures were
+    observed to disagree on XLA's derived target features (prefer-no-gather/
+    prefer-no-scatter are picked per uarch), which the flags alone miss."""
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(line for line in f if line.startswith("flags"))
+            lines = f.readlines()
+        flags = next(l for l in lines if l.startswith("flags"))
+        model = next((l for l in lines if l.startswith("model name")), "")
+        flags += model
     except (OSError, StopIteration):
         import platform
 
