@@ -43,7 +43,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=448)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
+                   help="force the jax backend (config API; see cli/train.py)")
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     files = sorted(
         f for f in os.listdir(args.dir_images)
