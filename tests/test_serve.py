@@ -129,6 +129,70 @@ def test_missing_content_length_is_411(served):
         conn.close()
 
 
+def test_dynamic_batcher_coalesces_and_matches(served):
+    """Concurrent single requests share forwards (micro-batching) and the
+    answers match the plain service exactly; per-request topk is honored."""
+    from vqa_tpu.cli.serve import DynamicBatcher
+
+    predictor, service, _ = served
+    dyn = DynamicBatcher(AnswerService(predictor, max_batch=4), max_wait_ms=250)
+    names = predictor.dataset.split.image_names
+    n = 8
+    qs = [f"is object number {i} red" for i in range(n)]
+    ims = [str(names[i % len(names)]) for i in range(n)]
+    expected = service.answer_batch(qs, ims, topk=3)
+
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def hit(i):
+        barrier.wait()
+        results[i] = dyn.answer_batch([qs[i]], [ims[i]], topk=3)[0]
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, expect in zip(results, expected):
+        assert [a for a, _ in got] == [a for a, _ in expect]
+        assert all(abs(p - q) < 1e-6 for (_, p), (_, q) in zip(got, expect))
+    # fully-uncoalesced would be n forwards; coalescing must beat that
+    assert dyn.forwards < n, dyn.forwards
+    # per-request topk slices the shared (max-topk) forward
+    assert len(dyn.answer_batch([qs[0]], [ims[0]], topk=1)[0]) == 1
+
+
+def test_dynamic_batcher_isolates_bad_request(served):
+    """One unknown image in a coalesced group must not fail its neighbors
+    (the worker retries individually), and the bad one surfaces its error."""
+    from vqa_tpu.cli.serve import DynamicBatcher
+
+    predictor, _, _ = served
+    dyn = DynamicBatcher(AnswerService(predictor, max_batch=4), max_wait_ms=250)
+    good_im = str(predictor.dataset.split.image_names[0])
+    outcomes = [None, None]
+    barrier = threading.Barrier(2)
+
+    def hit(i, image):
+        barrier.wait()
+        try:
+            outcomes[i] = dyn.answer_batch(["what is it"], [image], topk=2)[0]
+        except KeyError as e:
+            outcomes[i] = e
+
+    threads = [
+        threading.Thread(target=hit, args=(0, good_im)),
+        threading.Thread(target=hit, args=(1, "NO_SUCH_IMAGE")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert isinstance(outcomes[1], KeyError)
+    assert isinstance(outcomes[0], list) and len(outcomes[0]) == 2
+
+
 def test_concurrent_requests_serialize_correctly(served):
     """ThreadingHTTPServer + the service lock: concurrent posts both get
     correct, row-aligned answers (device work serializes, requests don't

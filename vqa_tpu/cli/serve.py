@@ -22,14 +22,19 @@ the server compiles exactly ONE program at startup (a warmup request) and
 never recompiles, whatever request sizes arrive. Requests larger than
 --max_batch are chunked. stdlib-only (ThreadingHTTPServer); device work is
 serialized under a lock — batching, not concurrency, is the throughput
-lever on one chip.
+lever on one chip. --dynamic_batching coalesces concurrent requests into
+shared forwards (micro-batching: up to --max_batch rows per forward,
+waiting at most --batch_wait_ms after the first), so concurrent singles
+ride the batch dimension instead of queueing whole forwards.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence, Tuple
 
@@ -68,6 +73,87 @@ class AnswerService:
                 im += [im[-1]] * pad
                 out.extend(self.predictor.answer_batch(q, im, topk=topk)[:n])
         return out
+
+
+class DynamicBatcher:
+    """Coalesce concurrent requests into shared forwards (micro-batching).
+
+    The plain AnswerService pads every request to the fixed serving batch,
+    so N concurrent single-question requests cost N forwards. This wrapper
+    queues incoming rows and a worker drains up to ``max_batch`` of them per
+    forward (waiting at most ``max_wait_ms`` after the first row arrives),
+    so concurrent load rides the batch dimension — the TPU's throughput
+    axis — instead of the queue. Same interface as AnswerService; single
+    requests gain up to max_batch× throughput under concurrency, and an
+    idle service adds at most ``max_wait_ms`` latency.
+    """
+
+    def __init__(self, service: AnswerService, max_wait_ms: float = 5.0):
+        self.service = service
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self.forwards = 0  # coalesced group count (observability + tests)
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    @property
+    def num_answers(self) -> int:
+        return self.service.num_answers
+
+    def warmup(self) -> None:
+        self.service.warmup()
+
+    def answer_batch(
+        self, questions: Sequence[str], images: Sequence[str], topk: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        if len(questions) != len(images):
+            raise ValueError(f"{len(questions)} questions vs {len(images)} images")
+        done = threading.Event()
+        item = {
+            "q": list(questions), "im": list(images), "topk": topk,
+            "done": done, "out": None, "err": None,
+        }
+        self._q.put(item)
+        done.wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _loop(self) -> None:
+        max_batch = self.service.max_batch
+        while True:
+            group = [self._q.get()]
+            deadline = time.monotonic() + self.max_wait
+            while sum(len(it["q"]) for it in group) < max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            qs = [q for it in group for q in it["q"]]
+            ims = [im for it in group for im in it["im"]]
+            topk = max(it["topk"] for it in group)
+            try:
+                rows = self.service.answer_batch(qs, ims, topk=topk)
+                self.forwards += 1
+                pos = 0
+                for it in group:
+                    n = len(it["q"])
+                    it["out"] = [r[: it["topk"]] for r in rows[pos : pos + n]]
+                    pos += n
+            except Exception:  # isolate the bad request: retry individually
+                for it in group:
+                    try:
+                        it["out"] = self.service.answer_batch(
+                            it["q"], it["im"], topk=it["topk"]
+                        )
+                        self.forwards += 1
+                    except Exception as e:
+                        it["err"] = e
+            for it in group:
+                it["done"].set()
 
 
 def make_handler(service: AnswerService):
@@ -155,6 +241,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--dynamic_batching", action="store_true",
+                   help="coalesce concurrent requests into shared forwards")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0,
+                   help="max coalescing wait after the first queued request")
     args = p.parse_args(argv)
 
     from vqa_tpu.utils import enable_compile_cache
@@ -180,6 +270,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             resume=None if args.no_resume else args.resume,
         )
     service = AnswerService(predictor, max_batch=args.max_batch)
+    if args.dynamic_batching:
+        service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms)
     print("warming up (one compile at the fixed serving shape)...", flush=True)
     service.warmup()
     server = build_server(service, args.host, args.port)
