@@ -142,23 +142,31 @@ def test_dynamic_batcher_coalesces_and_matches(served):
     ims = [str(names[i % len(names)]) for i in range(n)]
     expected = service.answer_batch(qs, ims, topk=3)
 
-    results = [None] * n
-    barrier = threading.Barrier(n)
+    # coalescing is timing-dependent (a scheduler stall can close groups
+    # solo); correctness is asserted every round, coalescing within 3 tries
+    coalesced = False
+    for _ in range(3):
+        results = [None] * n
+        barrier = threading.Barrier(n)
 
-    def hit(i):
-        barrier.wait()
-        results[i] = dyn.answer_batch([qs[i]], [ims[i]], topk=3)[0]
+        def hit(i):
+            barrier.wait()
+            results[i] = dyn.answer_batch([qs[i]], [ims[i]], topk=3)[0]
 
-    threads = [threading.Thread(target=hit, args=(i,)) for i in range(n)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    for got, expect in zip(results, expected):
-        assert [a for a, _ in got] == [a for a, _ in expect]
-        assert all(abs(p - q) < 1e-6 for (_, p), (_, q) in zip(got, expect))
-    # fully-uncoalesced would be n forwards; coalescing must beat that
-    assert dyn.forwards < n, dyn.forwards
+        before = dyn.forwards
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for got, expect in zip(results, expected):
+            assert [a for a, _ in got] == [a for a, _ in expect]
+            assert all(abs(p - q) < 1e-6 for (_, p), (_, q) in zip(got, expect))
+        # fully-uncoalesced would be n forwards for the round
+        if dyn.forwards - before < n:
+            coalesced = True
+            break
+    assert coalesced, "no coalescing observed in 3 concurrent rounds"
     # per-request topk slices the shared (max-topk) forward
     assert len(dyn.answer_batch([qs[0]], [ims[0]], topk=1)[0]) == 1
 

@@ -121,17 +121,25 @@ class DynamicBatcher:
 
     def _loop(self) -> None:
         max_batch = self.service.max_batch
+        carry = None  # an item that didn't fit the previous group
         while True:
-            group = [self._q.get()]
+            group = [carry if carry is not None else self._q.get()]
+            carry = None
+            size = len(group[0]["q"])
             deadline = time.monotonic() + self.max_wait
-            while sum(len(it["q"]) for it in group) < max_batch:
+            while size < max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
-                    group.append(self._q.get(timeout=remaining))
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if size + len(nxt["q"]) > max_batch:
+                    carry = nxt  # seed of the next group: keep the
+                    break        # one-forward-per-group contract
+                group.append(nxt)
+                size += len(nxt["q"])
             qs = [q for it in group for q in it["q"]]
             ims = [im for it in group for im in it["im"]]
             topk = max(it["topk"] for it in group)
@@ -240,7 +248,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="force the jax backend (config API; see cli/train.py)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--max_batch", type=int, default=None,
+                   help="serving batch (default 64; fixed by the artifact "
+                        "in --exported mode)")
     p.add_argument("--dynamic_batching", action="store_true",
                    help="coalesce concurrent requests into shared forwards")
     p.add_argument("--batch_wait_ms", type=float, default=5.0,
@@ -257,6 +267,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     if (args.exported is None) == (args.dir_logs is None):
         p.error("exactly one of --dir_logs / --exported is required")
     if args.exported is not None:
+        # fail loudly on flags the artifact makes meaningless — a silently
+        # ignored --max_batch would benchmark the wrong batch size
+        ignored = [
+            name for name, bad in [
+                ("--max_batch", args.max_batch is not None),
+                ("--path_opt", args.path_opt is not None),
+                ("--no_resume", args.no_resume),
+                ("--resume", args.resume != "best"),
+            ] if bad
+        ]
+        if ignored:
+            p.error(
+                f"{', '.join(ignored)} cannot be used with --exported: the "
+                "artifact fixes the batch and already contains the weights"
+            )
         from vqa_tpu.export import load_export
 
         predictor = load_export(args.exported, coco_dir=args.coco_dir)
@@ -269,7 +294,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.dir_logs, args.path_opt,
             resume=None if args.no_resume else args.resume,
         )
-    service = AnswerService(predictor, max_batch=args.max_batch)
+    service = AnswerService(predictor, max_batch=args.max_batch or 64)
     if args.dynamic_batching:
         service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms)
     print("warming up (one compile at the fixed serving shape)...", flush=True)

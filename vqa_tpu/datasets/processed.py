@@ -112,6 +112,24 @@ def encode_question(
     return np.asarray(row, dtype=np.int32), length
 
 
+def encode_question_batch(
+    questions: Sequence[str],
+    tokenizer,
+    word_to_wid: Dict[str, int],
+    maxlength: int,
+    pad: str = "right",
+) -> tuple:
+    """Tokenize + encode raw question strings into a [N, maxlength] int32
+    matrix and [N] lengths (the one copy of the serving-side encode loop —
+    used by both the live Predictor and the AOT ExportedPredictor)."""
+    rows, lengths = [], []
+    for q in questions:
+        row, length = encode_question(tokenizer(q), word_to_wid, maxlength, pad)
+        rows.append(row)
+        lengths.append(length)
+    return np.stack(rows), np.asarray(lengths, np.int32)
+
+
 def encode_split(
     examples: Sequence[Dict[str, Any]],
     vocabs: Vocabs,

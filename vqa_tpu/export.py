@@ -217,11 +217,10 @@ class ExportedPredictor:
     chunked to the exported batch.
     """
 
-    def __init__(self, export_dir: str, features=None):
+    def __init__(self, export_dir: str, features=None, meta: Optional[dict] = None):
         from jax import export as jax_export
 
-        with open(os.path.join(export_dir, META_FILE)) as f:
-            self.meta = json.load(f)
+        self.meta = _read_meta(export_dir) if meta is None else meta
         if self.meta.get("format") != "vqa_tpu.export/1":
             raise ValueError(
                 f"unknown export format {self.meta.get('format')!r} in {export_dir}"
@@ -251,25 +250,23 @@ class ExportedPredictor:
 
     # -- question encoding (vocab travels in meta.json) ----------------------
     def encode_questions(self, questions: Sequence[str]):
-        from vqa_tpu.datasets.processed import encode_question
+        from vqa_tpu.datasets.processed import encode_question_batch
         from vqa_tpu.datasets.tokenizer import get_tokenizer
 
         if self._tok is None:
             self._tok = get_tokenizer(self.meta["nlp"])
-        word_to_wid = self.meta["word_to_wid"]
-        rows, lengths = [], []
-        for q in questions:
-            row, length = encode_question(
-                self._tok(q), word_to_wid, self.meta["maxlength"], self.meta["pad"]
-            )
-            rows.append(row)
-            lengths.append(length)
-        return jnp.asarray(np.stack(rows)), jnp.asarray(lengths, jnp.int32)
+        rows, lengths = encode_question_batch(
+            questions, self._tok, self.meta["word_to_wid"],
+            self.meta["maxlength"], self.meta["pad"],
+        )
+        return jnp.asarray(rows), jnp.asarray(lengths)
 
     # -- fixed-shape forward --------------------------------------------------
     def logits(self, visual, question, lengths) -> np.ndarray:
         """Forward n <= exported-batch rows (pads to the frozen shape)."""
         n = question.shape[0]
+        if n == 0:
+            raise ValueError("no rows to run (empty batch)")
         if n > self.batch:
             raise ValueError(f"{n} rows > exported batch {self.batch}; chunk first")
         pad = self.batch - n
@@ -292,24 +289,27 @@ class ExportedPredictor:
     def answer_batch(
         self, questions: Sequence[str], image_names: Sequence[str], topk: int = 5
     ) -> List[List[Tuple[str, float]]]:
+        from vqa_tpu.utils.decode import topk_answers
+
         if self.dataset is None:
             raise ValueError("ExportedPredictor was loaded without a feature store")
         out: List[List[Tuple[str, float]]] = []
-        aid_to_ans = self.dataset.vocabs.aid_to_ans
         for start in range(0, len(questions), self.batch):
             qs = list(questions[start : start + self.batch])
             ims = list(image_names[start : start + self.batch])
             visual = self.dataset.features.get(self.dataset.features.index_of(ims))
             q, lengths = self.encode_questions(qs)
             logits = self.logits(visual, q, lengths)
-            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-            for row in probs:
-                top = np.argsort(-row)[:topk]
-                out.append([(aid_to_ans[a], float(row[a])) for a in top])
+            out.extend(topk_answers(logits, self.dataset.vocabs.aid_to_ans, topk))
         return out
 
     def answer(self, question: str, image_name: str, topk: int = 5):
         return self.answer_batch([question], [image_name], topk)[0]
+
+
+def _read_meta(export_dir: str) -> dict:
+    with open(os.path.join(export_dir, META_FILE)) as f:
+        return json.load(f)
 
 
 def load_export(
@@ -321,10 +321,10 @@ def load_export(
     meta's feature-table coordinates are used (``coco_dir`` overrides the
     recorded directory — the table rarely lives at the training-time path on
     a serving host)."""
+    meta = _read_meta(export_dir)
     if features is None:
         from vqa_tpu.datasets.features import FeatureStore
 
-        with open(os.path.join(export_dir, META_FILE)) as f:
-            coco = json.load(f)["coco"]
+        coco = meta["coco"]
         features = FeatureStore(coco_dir or coco["dir"], coco["arch"], coco["mode"])
-    return ExportedPredictor(export_dir, features=features)
+    return ExportedPredictor(export_dir, features=features, meta=meta)

@@ -20,7 +20,7 @@ import numpy as np
 
 from vqa_tpu.config import Options, load_options
 from vqa_tpu.datasets import factory as dataset_factory
-from vqa_tpu.datasets.processed import encode_question
+from vqa_tpu.datasets.processed import encode_question_batch
 from vqa_tpu.datasets.tokenizer import get_tokenizer
 from vqa_tpu.engine.checkpoint import CheckpointManager
 from vqa_tpu.engine.optim import factory as optim_factory
@@ -73,33 +73,26 @@ class Predictor:
         return cls(model, params, val_set, opt)
 
     def encode_questions(self, questions: Sequence[str]):
-        rows, lengths = [], []
-        for q in questions:
-            row, length = encode_question(
-                self._tok(q),
-                self.dataset.vocabs.word_to_wid,
-                self.opt.vqa.maxlength,
-                self.opt.vqa.pad,
-            )
-            rows.append(row)
-            lengths.append(length)
-        return jnp.asarray(np.stack(rows)), jnp.asarray(lengths, jnp.int32)
+        rows, lengths = encode_question_batch(
+            questions,
+            self._tok,
+            self.dataset.vocabs.word_to_wid,
+            self.opt.vqa.maxlength,
+            self.opt.vqa.pad,
+        )
+        return jnp.asarray(rows), jnp.asarray(lengths)
 
     def answer_batch(
         self, questions: Sequence[str], image_names: Sequence[str], topk: int = 5
     ) -> List[List[Tuple[str, float]]]:
+        from vqa_tpu.utils.decode import topk_answers
+
         visual = self.dataset.features.get(
             self.dataset.features.index_of(list(image_names))
         )
         q, lengths = self.encode_questions(questions)
         logits = self._forward(self.params, jnp.asarray(visual), q, lengths)
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-        out = []
-        aid_to_ans = self.dataset.vocabs.aid_to_ans
-        for row in probs:
-            top = np.argsort(-row)[:topk]
-            out.append([(aid_to_ans[a], float(row[a])) for a in top])
-        return out
+        return topk_answers(logits, self.dataset.vocabs.aid_to_ans, topk)
 
     def answer(self, question: str, image_name: str, topk: int = 5):
         return self.answer_batch([question], [image_name], topk)[0]
