@@ -31,7 +31,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--out", default=None, help="attention heatmap png path")
     p.add_argument("--opt", action="append", default=[], metavar="KEY=VAL")
+    p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
+                   help="force the jax backend (config API; see cli/train.py)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     predictor = Predictor.from_run(
         args.dir_logs, args.path_opt, resume=args.resume, overrides=args.opt
