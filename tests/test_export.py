@@ -200,6 +200,48 @@ def test_external_params_export(exported_run):
         0.5 * os.path.getsize(os.path.join(out, "program.jaxexport"))
 
 
+def test_int8_weights_export(exported_run):
+    """--weights_dtype int8: the artifact reproduces the live model run with
+    eagerly-dequantized params EXACTLY (mechanics, no accuracy threshold),
+    stays strongly correlated with the unquantized logits, and is ~4x
+    smaller; external mode rejects it."""
+    import jax.numpy as jnp
+
+    from vqa_tpu.export import dequantize_int8, quantize_int8
+
+    d, out, predictor = exported_run
+    out8 = os.path.join(d, "exported_int8")
+    rc = export_main([
+        "--dir_logs", os.path.join(d, "logs"), "--out", out8,
+        "--batch", "4", "--weights_dtype", "int8",
+    ])
+    assert rc == 0
+    names = predictor.dataset.split.image_names[:4]
+    q, lengths = predictor.encode_questions(["what animal is this"] * 4)
+    visual = predictor.dataset.features.get(predictor.dataset.features.index_of(names))
+
+    deq = dequantize_int8(quantize_int8(predictor.params))
+    ref = np.asarray(predictor._forward(deq, jnp.asarray(visual), q, lengths))
+    got = load_export(out8).logits(visual, q, lengths)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    full = np.asarray(
+        predictor._forward(predictor.params, jnp.asarray(visual), q, lengths)
+    )
+    corr = np.corrcoef(got.ravel(), full.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    size32 = os.path.getsize(os.path.join(out, "program.jaxexport"))
+    size8 = os.path.getsize(os.path.join(out8, "program.jaxexport"))
+    assert size8 < 0.4 * size32, (size8, size32)
+
+    with pytest.raises(ValueError, match="baked"):
+        export_main([
+            "--dir_logs", os.path.join(d, "logs"), "--out", out8 + "_x",
+            "--batch", "4", "--weights_dtype", "int8", "--params", "external",
+        ])
+
+
 def test_serve_cli_arg_validation():
     from vqa_tpu.cli.serve import main as serve_main
 

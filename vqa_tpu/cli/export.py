@@ -32,9 +32,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=64,
                    help="frozen serving batch (requests are padded/chunked)")
     p.add_argument("--weights_dtype", default=None,
-                   choices=["float32", "bfloat16"],
-                   help="cast the baked-in weights (bfloat16 halves the "
-                        "artifact; the TPU-native serving dtype)")
+                   choices=["float32", "bfloat16", "int8"],
+                   help="bfloat16: half-size artifact (TPU-native serving "
+                        "dtype). int8: weight-only per-channel quantization, "
+                        "~4x smaller, runtime dequant (baked mode only)")
     p.add_argument("--params", default="baked", choices=["baked", "external"],
                    help="baked: weights become program constants (one "
                         "self-contained file). external: weight-free program "

@@ -74,6 +74,7 @@ def export_forward(
     feat_dtype: Any = jnp.float32,
     platforms: Sequence[str] = ("cpu", "tpu"),
     params_mode: str = "baked",
+    quantized: bool = False,
 ):
     """Export ``model.apply`` at a fixed serving shape.
 
@@ -96,9 +97,12 @@ def export_forward(
     if params_mode == "baked":
 
         def fn(visual, question, lengths):
-            return model.apply({"params": params}, visual, question, lengths)
+            p = dequantize_int8(params) if quantized else params
+            return model.apply({"params": p}, visual, question, lengths)
 
         return jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
+    if quantized:
+        raise ValueError("int8 quantization requires params_mode='baked'")
     if params_mode == "external":
 
         def fn_ext(p, visual, question, lengths):
@@ -123,6 +127,44 @@ def _cast_floating(params, dtype):
     )
 
 
+def quantize_int8(params):
+    """Weight-only int8 quantization, per-last-dim (output-channel) scales.
+
+    Floating arrays with ndim >= 2 become ``(int8 values, f32 scales)``
+    pairs; biases/scalars stay as-is (negligible size, precision-critical).
+    symmetric: w ≈ q * scale, scale = max|w| / 127 per output channel.
+    """
+
+    def q(p):
+        if not jnp.issubdtype(p.dtype, jnp.floating) or p.ndim < 2:
+            return p
+        axis = tuple(range(p.ndim - 1))
+        scale = jnp.max(jnp.abs(p), axis=axis, keepdims=True) / 127.0
+        scale = jnp.where(scale == 0, jnp.ones_like(scale), scale)
+        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+        return {"q": qv, "scale": scale.astype(jnp.float32), "dtype": str(p.dtype)}
+
+    return jax.tree.map(q, params)
+
+
+def dequantize_int8(qparams):
+    """Inverse of :func:`quantize_int8` (runs inside the exported program:
+    int8 constants -> per-channel rescale; halves weight HBM traffic vs
+    bf16 at serving time on top of the 4x-vs-f32 artifact size)."""
+
+    def is_q(v):
+        return isinstance(v, dict) and set(v) == {"q", "scale", "dtype"}
+
+    def dq(v):
+        if is_q(v):
+            return (v["q"].astype(jnp.float32) * v["scale"]).astype(
+                jnp.dtype(v["dtype"])
+            )
+        return v
+
+    return jax.tree.map(dq, qparams, is_leaf=is_q)
+
+
 def save_export(
     out_dir: str,
     predictor,
@@ -136,6 +178,11 @@ def save_export(
     artifact; the TPU-native serving dtype). Inputs/outputs keep their
     original dtypes — only the weights change.
 
+    ``weights_dtype='int8'`` (baked only) applies weight-only per-channel
+    int8 quantization (:func:`quantize_int8`): ~4x smaller than f32, and
+    the program dequantizes at run time so weight HBM reads halve vs bf16
+    too. Compute dtype/activations are unchanged.
+
     ``params_mode='external'`` keeps the program weight-free and writes the
     params to a sidecar ``params.npz`` (stored as float32 — bfloat16 has no
     portable npz encoding — and re-cast per ``weights_dtype`` at load, which
@@ -147,7 +194,10 @@ def save_export(
     ds, opt = predictor.dataset, predictor.opt
     feature_shape = list(ds.features.feature_shape)
     params = predictor.params
-    if weights_dtype is not None:
+    quantized = weights_dtype == "int8"
+    if quantized:
+        params = quantize_int8(params)
+    elif weights_dtype is not None:
         params = _cast_floating(params, jnp.dtype(weights_dtype))
     exported = export_forward(
         predictor.model,
@@ -157,6 +207,7 @@ def save_export(
         feature_shape=feature_shape,
         feat_dtype=jnp.float32,
         params_mode=params_mode,
+        quantized=quantized,
     )
     meta = {
         "format": "vqa_tpu.export/1",
