@@ -251,6 +251,35 @@ def test_serve_cli_arg_validation():
         serve_main(["--dir_logs", "x", "--exported", "y"])  # both
 
 
+def test_dynamic_batcher_over_exported_predictor(exported_run):
+    """The serving stack composes: DynamicBatcher(AnswerService(Exported-
+    Predictor)) — coalesced AOT serving with no model code."""
+    import threading
+
+    from vqa_tpu.cli.serve import AnswerService, DynamicBatcher
+
+    d, out, predictor = exported_run
+    ep = load_export(out)
+    dyn = DynamicBatcher(AnswerService(ep, max_batch=ep.batch), max_wait_ms=250)
+    names = [str(n) for n in predictor.dataset.split.image_names[:4]]
+    expected = predictor.answer_batch(["what is here"] * 4, names, topk=2)
+
+    results = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def hit(i):
+        barrier.wait()
+        results[i] = dyn.answer_batch(["what is here"], [names[i]], topk=2)[0]
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, expect in zip(results, expected):
+        assert [a for a, _ in got] == [a for a, _ in expect]
+
+
 def test_load_path_never_imports_model_code(exported_run):
     """The deployment contract: serving a frozen artifact touches neither
     flax nor the model zoo (subprocess so sys.modules starts clean)."""
