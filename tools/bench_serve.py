@@ -131,10 +131,20 @@ def main() -> None:
         predictor = Predictor.from_run(logs, resume="best")
         names = predictor.dataset.split.image_names
 
+        from vqa_tpu.cli.export import main as export_main
+        from vqa_tpu.export import load_export
+
+        exp_dir = os.path.join(d, "exported")
+        rc = export_main(["--dir_logs", logs, "--out", exp_dir,
+                          "--batch", str(args.max_batch)]
+                         + (["--platform", args.platform] if args.platform else []))
+        assert rc == 0
+
         results = {}
-        for mode in ("plain", "dynamic"):
-            service = AnswerService(predictor, max_batch=args.max_batch)
-            if mode == "dynamic":
+        for mode in ("plain", "dynamic", "aot_dynamic"):
+            backend = load_export(exp_dir) if mode == "aot_dynamic" else predictor
+            service = AnswerService(backend, max_batch=args.max_batch)
+            if mode != "plain":
                 service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms)
             service.warmup()
             # one throwaway round to settle compiles/thread pools
@@ -142,7 +152,7 @@ def main() -> None:
             results[mode] = _measure(
                 service, names, clients=args.clients, requests=args.requests
             )
-            if mode == "dynamic":
+            if mode != "plain":
                 results[mode]["forwards"] = service.forwards
 
     line = json.dumps({

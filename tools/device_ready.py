@@ -9,6 +9,12 @@ runs on ready=true (threshold 40 TFLOPS, same as bench.py's calibration).
 
 Usage: python tools/device_ready.py [--wait]   (--wait: idle-poll every 45s
 until ready or 10 min, then report)
+
+--enum_only: don't run the calibration — just check that the tunnel answers
+device ENUMERATION within --timeout seconds. The ledger's hard-wedge
+signature is jax.devices() itself blocking forever (distinct from backlog,
+which is slow-but-alive); this mode turns that into a bounded yes/no probe
+instead of a hung shell.
 """
 
 import argparse
@@ -47,8 +53,31 @@ def probe_tflops() -> float:
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wait", action="store_true")
+    p.add_argument("--enum_only", action="store_true",
+                   help="bounded tunnel-wedge probe (no calibration)")
+    p.add_argument("--timeout", type=float, default=240.0,
+                   help="enumeration budget for --enum_only, seconds")
     args = p.parse_args()
     enable_compile_cache()
+    if args.enum_only:
+        import threading
+
+        def bail():
+            print(json.dumps({
+                "ready": False,
+                "error": f"device enumeration wedged >{args.timeout:.0f}s "
+                         "(tunnel hard-wedge — see perf ledger)",
+            }), flush=True)
+            os._exit(3)
+
+        t = threading.Timer(args.timeout, bail)
+        t.daemon = True
+        t.start()
+        d = jax.devices()[0]
+        t.cancel()
+        print(json.dumps({"ready": True, "platform": d.platform,
+                          "device_kind": d.device_kind}))
+        return
     if jax.devices()[0].platform != "tpu":
         print(json.dumps({"tflops": None, "ready": True, "note": "not a TPU"}))
         return
