@@ -235,11 +235,18 @@ def test_int8_weights_export(exported_run):
     size8 = os.path.getsize(os.path.join(out8, "program.jaxexport"))
     assert size8 < 0.4 * size32, (size8, size32)
 
-    with pytest.raises(ValueError, match="baked"):
+    # rejected at argparse level, before any checkpoint load
+    with pytest.raises(SystemExit):
         export_main([
             "--dir_logs", os.path.join(d, "logs"), "--out", out8 + "_x",
             "--batch", "4", "--weights_dtype", "int8", "--params", "external",
         ])
+    # and at the API level too
+    from vqa_tpu.export import save_export
+
+    with pytest.raises(ValueError, match="baked"):
+        save_export(out8 + "_y", predictor, batch=4,
+                    weights_dtype="int8", params_mode="external")
 
 
 def test_serve_cli_arg_validation():

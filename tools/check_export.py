@@ -6,7 +6,10 @@ platform, comparing against the live ``model.apply``:
   * baked constants at reduced dims (a baked flagship would embed ~100MB of
     weights in the HLO — remote-compile helpers cap request sizes, the
     CLAUDE.md 413 trap; reduced dims keep the program small while still
-    exercising the constants path), and
+    exercising the constants path),
+  * the same baked path with int8-quantized weights (in-program dequant;
+    the oracle applies the identical eager dequant, so the check is exact
+    mechanics, not quantization accuracy), and
   * external params at FLAGSHIP dims (weight-free program: the big-model
     deployment path — this is the one that must hold on real TPU).
 
@@ -35,24 +38,20 @@ def _build(num_words, num_answers, tiny):
     from vqa_tpu.config import load_options
     from vqa_tpu.models import factory
 
+    from tools.common import REDUCED_MUTAN_ATT_OVERRIDES
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    overrides = []
-    if tiny:
-        overrides = [
-            "model.seq2vec.emb_size=32", "model.seq2vec.hidden_size=64",
-            "model.attention.dim_hv=24", "model.attention.dim_hq=24",
-            "model.attention.dim_mm=32", "model.attention.R=2",
-            "model.fusion.dim_hv=24", "model.fusion.dim_hq=24",
-            "model.fusion.dim_mm=32", "model.fusion.R=2",
-        ]
+    overrides = list(REDUCED_MUTAN_ATT_OVERRIDES) if tiny else []
     opt = load_options(
         os.path.join(repo, "options/vqa2/mutan_att.yaml"), overrides
     )
     return factory(opt.model, num_words, num_answers, dtype="float32"), opt
 
 
-def _check(params_mode: str, tiny: bool, batch: int, seq: int) -> dict:
-    from vqa_tpu.export import export_forward
+def _check(
+    params_mode: str, tiny: bool, batch: int, seq: int, int8: bool = False
+) -> dict:
+    from vqa_tpu.export import dequantize_int8, export_forward, quantize_int8
 
     num_words, num_answers = (500, 40) if tiny else (12_000, 2_000)
     model, _ = _build(num_words, num_answers, tiny)
@@ -63,15 +62,20 @@ def _check(params_mode: str, tiny: bool, batch: int, seq: int) -> dict:
     params = model.init(jax.random.key(0), visual[:2], question[:2], lengths[:2])[
         "params"
     ]
+    if int8:
+        params = quantize_int8(params)
 
+    # the live oracle runs the same (dequantized, for int8) params — the
+    # check pins artifact MECHANICS exactly, not quantization accuracy
+    live_params = dequantize_int8(params) if int8 else params
     live = np.asarray(
         jax.jit(lambda p, v, q, l: model.apply({"params": p}, v, q, l))(
-            params, visual, question, lengths
+            live_params, visual, question, lengths
         )
     )
     exported = export_forward(
         model, params, batch=batch, seq=seq,
-        feature_shape=(REGIONS, DIM), params_mode=params_mode,
+        feature_shape=(REGIONS, DIM), params_mode=params_mode, quantized=int8,
     )
     # serialize/deserialize round trip — what a serving host actually loads
     from jax import export as jax_export
@@ -87,6 +91,7 @@ def _check(params_mode: str, tiny: bool, batch: int, seq: int) -> dict:
     diff = float(np.max(np.abs(frozen - live)))
     return {
         "params_mode": params_mode,
+        "weights": "int8" if int8 else "f32",
         "dims": "reduced" if tiny else "flagship",
         "batch": batch,
         "program_bytes": len(blob),
@@ -119,6 +124,7 @@ def main() -> None:
     platform = jax.devices()[0].platform
     checks = [
         _check("baked", tiny=True, batch=64, seq=26),
+        _check("baked", tiny=True, batch=64, seq=26, int8=True),
         _check("external", tiny=False, batch=64, seq=26),
     ]
     line = json.dumps({

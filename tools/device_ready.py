@@ -62,7 +62,11 @@ def main() -> None:
     if args.enum_only:
         import threading
 
+        answered = threading.Event()
+
         def bail():
+            if answered.is_set():  # enumeration won the race: stay silent
+                return
             print(json.dumps({
                 "ready": False,
                 "error": f"device enumeration wedged >{args.timeout:.0f}s "
@@ -74,6 +78,7 @@ def main() -> None:
         t.daemon = True
         t.start()
         d = jax.devices()[0]
+        answered.set()
         t.cancel()
         print(json.dumps({"ready": True, "platform": d.platform,
                           "device_kind": d.device_kind}))

@@ -46,6 +46,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "The artifact itself is lowered for cpu AND tpu "
                         "regardless — this only picks where the export runs")
     args = p.parse_args(argv)
+    if args.weights_dtype == "int8" and args.params == "external":
+        # reject before the (potentially minutes-long) checkpoint load —
+        # the quantized pairs must live as baked program constants
+        p.error("--weights_dtype int8 requires --params baked")
 
     if args.platform:
         import jax

@@ -191,10 +191,13 @@ def save_export(
 
     Returns the meta dict (also written to ``meta.json``).
     """
+    quantized = weights_dtype == "int8"
+    if quantized and params_mode != "baked":
+        # fail before quantizing a (possibly large) tree
+        raise ValueError("int8 quantization requires params_mode='baked'")
     ds, opt = predictor.dataset, predictor.opt
     feature_shape = list(ds.features.feature_shape)
     params = predictor.params
-    quantized = weights_dtype == "int8"
     if quantized:
         params = quantize_int8(params)
     elif weights_dtype is not None:
