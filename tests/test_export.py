@@ -287,6 +287,35 @@ def test_dynamic_batcher_over_exported_predictor(exported_run):
         assert [a for a, _ in got] == [a for a, _ in expect]
 
 
+def test_noatt_export_roundtrip(tmp_path):
+    """Shape generality: a noatt model (pooled [B, 2048] features, no region
+    axis) exports and round-trips like the att families."""
+    d = str(tmp_path)
+    generate(d, n_images=8, n_questions=32, seed=13)
+    logs = os.path.join(d, "logs")
+    rc = train_main([
+        "--path_opt", os.path.join(REPO, "options/vqa2/mutan_noatt.yaml"),
+        "--dir_logs", logs, "--epochs", "1", "--batch_size", "16",
+        "--print_freq", "0",
+        "--opt", f"vqa.dir={d}/vqa2", "--opt", f"coco.dir={d}/coco",
+        "--opt", "vqa.nans=20",
+        "--opt", "model.seq2vec.emb_size=12", "--opt", "model.seq2vec.hidden_size=16",
+        "--opt", "model.fusion.dim_hv=8", "--opt", "model.fusion.dim_hq=8",
+        "--opt", "model.fusion.dim_mm=12", "--opt", "model.fusion.R=2",
+    ])
+    assert rc == 0
+    out = os.path.join(d, "exported")
+    assert export_main(["--dir_logs", logs, "--out", out, "--batch", "4"]) == 0
+    predictor = Predictor.from_run(logs, resume="best")
+    ep = load_export(out)
+    assert ep.meta["feature_shape"] == [2048]
+    names = [str(n) for n in predictor.dataset.split.image_names[:3]]
+    live = predictor.answer_batch(["what is that"] * 3, names, topk=2)
+    frozen = ep.answer_batch(["what is that"] * 3, names, topk=2)
+    for a, b in zip(live, frozen):
+        assert [x for x, _ in a] == [x for x, _ in b]
+
+
 def test_load_path_never_imports_model_code(exported_run):
     """The deployment contract: serving a frozen artifact touches neither
     flax nor the model zoo (subprocess so sys.modules starts clean)."""
