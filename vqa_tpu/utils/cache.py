@@ -42,9 +42,23 @@ def host_isa_tag() -> str:
 
 
 def enable_compile_cache() -> None:
+    """Pick the cache dir by target platform:
+
+    - CPU-forced runs (``--platform cpu`` / jax_platforms=cpu) get an
+      ISA-keyed dir — XLA:CPU AOT results are host-specific (SIGILL story
+      above) and XLA's own cache key does NOT include CPU features.
+    - device runs share one host-independent dir: TPU executables are
+      compiled for the chip, not the host, and they are the expensive
+      (remote-compiled) entries worth keeping across machine swaps.
+
+    Safe to call again after changing jax_platforms (entry points that
+    force CPU late re-call it); the config just repoints the directory.
+    """
     cache_dir = os.environ.get("VQA_TPU_COMPILE_CACHE")
     if cache_dir is None:
-        cache_dir = os.path.expanduser("~/.cache/vqa_tpu_jax_" + host_isa_tag())
+        plat = getattr(jax.config, "jax_platforms", None) or ""
+        suffix = "cpu_" + host_isa_tag() if plat.startswith("cpu") else "device"
+        cache_dir = os.path.expanduser("~/.cache/vqa_tpu_jax_" + suffix)
     if not cache_dir or cache_dir == "0":
         return
     try:
