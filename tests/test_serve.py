@@ -201,6 +201,27 @@ def test_dynamic_batcher_isolates_bad_request(served):
     assert isinstance(outcomes[0], list) and len(outcomes[0]) == 2
 
 
+def test_dynamic_batcher_request_timeout():
+    """A wedged backend (forward never returns) must 504 the client within
+    the deadline instead of hanging it forever."""
+    import time as _time
+
+    from vqa_tpu.cli.serve import DynamicBatcher
+
+    class WedgedService:
+        max_batch = 4
+        num_answers = 5
+
+        def answer_batch(self, questions, images, topk=5):
+            _time.sleep(3600)
+
+    dyn = DynamicBatcher(WedgedService(), max_wait_ms=1, request_timeout_s=0.5)
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError, match="unresponsive"):
+        dyn.answer_batch(["q"], ["img"], topk=1)
+    assert _time.monotonic() - t0 < 5.0
+
+
 def test_concurrent_requests_serialize_correctly(served):
     """ThreadingHTTPServer + the service lock: concurrent posts both get
     correct, row-aligned answers (device work serializes, requests don't

@@ -88,9 +88,15 @@ class DynamicBatcher:
     idle service adds at most ``max_wait_ms`` latency.
     """
 
-    def __init__(self, service: AnswerService, max_wait_ms: float = 5.0):
+    def __init__(
+        self,
+        service: AnswerService,
+        max_wait_ms: float = 5.0,
+        request_timeout_s: Optional[float] = None,
+    ):
         self.service = service
         self.max_wait = max_wait_ms / 1000.0
+        self.request_timeout = request_timeout_s
         self._q: "queue.Queue" = queue.Queue()
         self.forwards = 0  # coalesced group count (observability + tests)
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -114,7 +120,12 @@ class DynamicBatcher:
             "done": done, "out": None, "err": None,
         }
         self._q.put(item)
-        done.wait()
+        # bounded wait: a wedged device (see the perf ledger's tunnel notes)
+        # otherwise hangs every client forever behind the stuck forward
+        if not done.wait(self.request_timeout):
+            raise TimeoutError(
+                f"serving backend unresponsive for {self.request_timeout:.0f}s"
+            )
         if item["err"] is not None:
             raise item["err"]
         return item["out"]
@@ -215,6 +226,8 @@ def make_handler(service: AnswerService):
                     self._send(200, {"answers": answers})
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
+            except TimeoutError as e:
+                self._send(504, {"error": str(e)})
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
             except (ValueError, TypeError, json.JSONDecodeError) as e:
@@ -255,6 +268,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="coalesce concurrent requests into shared forwards")
     p.add_argument("--batch_wait_ms", type=float, default=5.0,
                    help="max coalescing wait after the first queued request")
+    p.add_argument("--request_timeout_s", type=float, default=None,
+                   help="with --dynamic_batching: bound each request's wait "
+                        "(504 instead of hanging behind a wedged device)")
     args = p.parse_args(argv)
 
     from vqa_tpu.utils import enable_compile_cache
@@ -296,7 +312,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
     service = AnswerService(predictor, max_batch=args.max_batch or 64)
     if args.dynamic_batching:
-        service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms)
+        service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms,
+                                 request_timeout_s=args.request_timeout_s)
     print("warming up (one compile at the fixed serving shape)...", flush=True)
     service.warmup()
     server = build_server(service, args.host, args.port)
