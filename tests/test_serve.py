@@ -201,6 +201,20 @@ def test_dynamic_batcher_isolates_bad_request(served):
     assert isinstance(outcomes[0], list) and len(outcomes[0]) == 2
 
 
+def test_metrics_endpoint(served):
+    predictor, service, base = served
+    before = service.stats()
+    _post(base + "/answer",
+          {"question": "metrics probe", "image": str(predictor.dataset.split.image_names[0])})
+    with urllib.request.urlopen(base + "/metrics") as resp:
+        m = json.loads(resp.read())
+    assert m["requests"] > before["requests"]
+    assert m["forwards"] >= m["requests"]  # chunking can only add forwards
+    assert m["rows"] >= m["requests"]
+    assert m["device_seconds"] > 0
+    assert m["rows_per_forward"] is not None
+
+
 def test_dynamic_batcher_request_timeout():
     """A wedged backend (forward never returns) must 504 the client within
     the deadline instead of hanging it forever."""

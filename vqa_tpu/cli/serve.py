@@ -11,7 +11,9 @@ exported shape):
 
   python -m vqa_tpu.cli.serve --exported exported/ [--coco_dir data/coco]
 
-Endpoints (JSON over POST, plus GET /healthz):
+Endpoints (JSON over POST, plus GET /healthz and GET /metrics — request/
+row/forward counters, device seconds, rows-per-forward, batcher queue
+depth/timeouts):
   /answer  {"question": str, "image": str, "topk"?: int}
            -> {"answers": [[answer, prob], ...]}
   /batch   {"questions": [str], "images": [str], "topk"?: int}
@@ -46,6 +48,8 @@ class AnswerService:
         self.predictor = predictor
         self.max_batch = max_batch
         self._lock = threading.Lock()
+        self._stats = {"requests": 0, "rows": 0, "forwards": 0,
+                       "device_seconds": 0.0}
 
     @property
     def num_answers(self) -> int:
@@ -54,6 +58,12 @@ class AnswerService:
     def warmup(self) -> None:
         image = self.predictor.dataset.split.image_names[0]
         self.answer_batch(["warmup question"], [image], topk=1)
+
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+        s["rows_per_forward"] = round(s["rows"] / s["forwards"], 2) if s["forwards"] else None
+        return s
 
     def answer_batch(
         self, questions: Sequence[str], images: Sequence[str], topk: int = 5
@@ -64,6 +74,8 @@ class AnswerService:
             )
         out: List[List[Tuple[str, float]]] = []
         with self._lock:  # one device, one queue
+            self._stats["requests"] += 1
+            self._stats["rows"] += len(questions)
             for start in range(0, len(questions), self.max_batch):
                 q = list(questions[start : start + self.max_batch])
                 im = list(images[start : start + self.max_batch])
@@ -71,7 +83,10 @@ class AnswerService:
                 pad = self.max_batch - n  # fixed shape -> zero recompiles
                 q += [q[-1]] * pad
                 im += [im[-1]] * pad
+                t0 = time.perf_counter()
                 out.extend(self.predictor.answer_batch(q, im, topk=topk)[:n])
+                self._stats["forwards"] += 1
+                self._stats["device_seconds"] += time.perf_counter() - t0
         return out
 
 
@@ -99,8 +114,19 @@ class DynamicBatcher:
         self.request_timeout = request_timeout_s
         self._q: "queue.Queue" = queue.Queue()
         self.forwards = 0  # coalesced group count (observability + tests)
+        self.timeouts = 0
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        s = self.service.stats()
+        s["batcher"] = {
+            "groups": self.forwards,
+            "timeouts": self.timeouts,
+            "queue_depth": self._q.qsize(),
+        }
+        return s
 
     @property
     def num_answers(self) -> int:
@@ -123,6 +149,8 @@ class DynamicBatcher:
         # bounded wait: a wedged device (see the perf ledger's tunnel notes)
         # otherwise hangs every client forever behind the stuck forward
         if not done.wait(self.request_timeout):
+            with self._stats_lock:
+                self.timeouts += 1
             raise TimeoutError(
                 f"serving backend unresponsive for {self.request_timeout:.0f}s"
             )
@@ -191,6 +219,8 @@ def make_handler(service: AnswerService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
+            elif self.path == "/metrics":
+                self._send(200, service.stats())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
