@@ -287,6 +287,19 @@ def test_dynamic_batcher_over_exported_predictor(exported_run):
         assert [a for a, _ in got] == [a for a, _ in expect]
 
 
+def test_export_validate_gate(exported_run, capsys):
+    """--validate N: the deployment gate reruns real val questions through
+    both the live model and the artifact; exact agreement -> rc 0."""
+    d, out, predictor = exported_run
+    rc = export_main([
+        "--dir_logs", os.path.join(d, "logs"),
+        "--out", os.path.join(d, "exported_val"),
+        "--batch", "4", "--validate", "12",
+    ])
+    assert rc == 0
+    assert "answer agreement 1.0000 over 12" in capsys.readouterr().out
+
+
 def test_noatt_export_roundtrip(tmp_path):
     """Shape generality: a noatt model (pooled [B, 2048] features, no region
     axis) exports and round-trips like the att families."""

@@ -41,6 +41,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "self-contained file). external: weight-free program "
                         "+ sidecar params.npz — use for big models or "
                         "compile-request-size-limited environments")
+    p.add_argument("--validate", type=int, default=0, metavar="N",
+                   help="deployment gate: run N val-split questions through "
+                        "BOTH the live model and the written artifact and "
+                        "report answer agreement (fails the command if the "
+                        "artifact disagrees; int8 reports without failing)")
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py). "
                         "The artifact itself is lowered for cpu AND tpu "
@@ -76,6 +81,41 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"-> {args.out}",
         flush=True,
     )
+    if args.validate:
+        import numpy as np
+
+        from vqa_tpu.export import load_export
+
+        ep = load_export(args.out, features=predictor.dataset.features)
+        split = predictor.dataset.split
+        n = min(args.validate, len(split.image_names))
+        rng = np.random.default_rng(0)
+        idx = rng.choice(len(split.image_names), size=n, replace=False)
+        # real split questions: decode the encoded rows is lossy, so run
+        # the LOGITS comparison on the stored encodings directly
+        import jax.numpy as jnp
+
+        q = jnp.asarray(split.questions[idx])
+        lengths = jnp.asarray(split.lengths[idx])
+        visual = predictor.dataset.features.get(
+            predictor.dataset.features.index_of(
+                [str(split.image_names[i]) for i in idx]
+            )
+        )
+        live = np.asarray(predictor._forward(predictor.params, jnp.asarray(visual), q, lengths))
+        frozen_rows = []
+        for start in range(0, n, ep.batch):
+            frozen_rows.append(ep.logits(
+                visual[start:start + ep.batch], q[start:start + ep.batch],
+                lengths[start:start + ep.batch]))
+        frozen = np.concatenate(frozen_rows)
+        agree = float((frozen.argmax(-1) == live.argmax(-1)).mean())
+        print(f"validate: answer agreement {agree:.4f} over {n} val questions",
+              flush=True)
+        if agree < 1.0 and args.weights_dtype != "int8":
+            print("validate: FROZEN ARTIFACT DISAGREES WITH THE LIVE MODEL",
+                  flush=True)
+            return 1
     return 0
 
 
