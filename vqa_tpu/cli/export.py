@@ -44,8 +44,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--validate", type=int, default=0, metavar="N",
                    help="deployment gate: run N val-split questions through "
                         "BOTH the live model and the written artifact and "
-                        "report answer agreement (fails the command if the "
-                        "artifact disagrees; int8 reports without failing)")
+                        "report answer agreement (fails the command if a "
+                        "same-dtype artifact disagrees; bf16/int8 exports "
+                        "report without failing — cast weights legitimately "
+                        "perturb near-tie argmaxes)")
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py). "
                         "The artifact itself is lowered for cpu AND tpu "
@@ -102,17 +104,35 @@ def main(argv: Optional[List[str]] = None) -> int:
                 [str(split.image_names[i]) for i in idx]
             )
         )
-        live = np.asarray(predictor._forward(predictor.params, jnp.asarray(visual), q, lengths))
-        frozen_rows = []
+        # run BOTH sides chunked+padded at the exported batch: identical
+        # shapes mean identical XLA tilings (no near-tie flips from a
+        # different batch shape) and zero extra compiles — the live side
+        # reuses one shape instead of a fresh batch-n remote compile
+        def pad_rows(a, start):
+            chunk = np.asarray(a[start:start + ep.batch])
+            need = ep.batch - chunk.shape[0]
+            if need:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], need, 0)])
+            return chunk
+
+        live_rows, frozen_rows = [], []
         for start in range(0, n, ep.batch):
-            frozen_rows.append(ep.logits(
-                visual[start:start + ep.batch], q[start:start + ep.batch],
-                lengths[start:start + ep.batch]))
+            m = min(ep.batch, n - start)
+            v = pad_rows(visual, start).astype(np.float32)
+            qq = jnp.asarray(pad_rows(np.asarray(q), start))
+            ll = jnp.asarray(pad_rows(np.asarray(lengths), start))
+            live_rows.append(np.asarray(
+                predictor._forward(predictor.params, jnp.asarray(v), qq, ll)
+            )[:m])
+            frozen_rows.append(ep.logits(v[:m], qq[:m], ll[:m]))
+        live = np.concatenate(live_rows)
         frozen = np.concatenate(frozen_rows)
         agree = float((frozen.argmax(-1) == live.argmax(-1)).mean())
         print(f"validate: answer agreement {agree:.4f} over {n} val questions",
               flush=True)
-        if agree < 1.0 and args.weights_dtype != "int8":
+        # quantized/cast weights legitimately perturb near-tie argmaxes:
+        # report, don't gate. Only a same-dtype artifact must agree exactly.
+        if agree < 1.0 and args.weights_dtype in (None, "float32"):
             print("validate: FROZEN ARTIFACT DISAGREES WITH THE LIVE MODEL",
                   flush=True)
             return 1

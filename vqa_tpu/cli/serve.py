@@ -48,6 +48,13 @@ class AnswerService:
         self.predictor = predictor
         self.max_batch = max_batch
         self._lock = threading.Lock()
+        # counters get their OWN mutex: /metrics must stay readable while a
+        # forward holds the device lock (the wedged-device case is exactly
+        # when the operator needs the numbers)
+        self._stats_lock = threading.Lock()
+        # 'requests'/'rows' count answer_batch CALLS (under DynamicBatcher
+        # one call == one coalesced group; client counts live in the
+        # batcher block of /metrics)
         self._stats = {"requests": 0, "rows": 0, "forwards": 0,
                        "device_seconds": 0.0}
 
@@ -60,10 +67,15 @@ class AnswerService:
         self.answer_batch(["warmup question"], [image], topk=1)
 
     def stats(self) -> dict:
-        with self._lock:
+        with self._stats_lock:
             s = dict(self._stats)
         s["rows_per_forward"] = round(s["rows"] / s["forwards"], 2) if s["forwards"] else None
         return s
+
+    def _bump(self, **deltas) -> None:
+        with self._stats_lock:
+            for k, v in deltas.items():
+                self._stats[k] += v
 
     def answer_batch(
         self, questions: Sequence[str], images: Sequence[str], topk: int = 5
@@ -74,8 +86,7 @@ class AnswerService:
             )
         out: List[List[Tuple[str, float]]] = []
         with self._lock:  # one device, one queue
-            self._stats["requests"] += 1
-            self._stats["rows"] += len(questions)
+            self._bump(requests=1, rows=len(questions))
             for start in range(0, len(questions), self.max_batch):
                 q = list(questions[start : start + self.max_batch])
                 im = list(images[start : start + self.max_batch])
@@ -85,8 +96,8 @@ class AnswerService:
                 im += [im[-1]] * pad
                 t0 = time.perf_counter()
                 out.extend(self.predictor.answer_batch(q, im, topk=topk)[:n])
-                self._stats["forwards"] += 1
-                self._stats["device_seconds"] += time.perf_counter() - t0
+                self._bump(forwards=1,
+                           device_seconds=time.perf_counter() - t0)
         return out
 
 
@@ -113,19 +124,27 @@ class DynamicBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self.request_timeout = request_timeout_s
         self._q: "queue.Queue" = queue.Queue()
-        self.forwards = 0  # coalesced group count (observability + tests)
-        self.timeouts = 0
         self._stats_lock = threading.Lock()
+        self._stats = {"client_requests": 0, "client_rows": 0,
+                       "groups": 0, "timeouts": 0}
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
+    @property
+    def forwards(self) -> int:  # coalesced group count (tests + tools)
+        return self._stats["groups"]
+
+    def _bump(self, **deltas) -> None:
+        with self._stats_lock:
+            for k, v in deltas.items():
+                self._stats[k] += v
+
     def stats(self) -> dict:
         s = self.service.stats()
-        s["batcher"] = {
-            "groups": self.forwards,
-            "timeouts": self.timeouts,
-            "queue_depth": self._q.qsize(),
-        }
+        with self._stats_lock:
+            b = dict(self._stats)
+        b["queue_depth"] = self._q.qsize()
+        s["batcher"] = b
         return s
 
     @property
@@ -143,14 +162,18 @@ class DynamicBatcher:
         done = threading.Event()
         item = {
             "q": list(questions), "im": list(images), "topk": topk,
-            "done": done, "out": None, "err": None,
+            "done": done, "out": None, "err": None, "abandoned": False,
         }
+        self._bump(client_requests=1, client_rows=len(questions))
         self._q.put(item)
         # bounded wait: a wedged device (see the perf ledger's tunnel notes)
         # otherwise hangs every client forever behind the stuck forward
         if not done.wait(self.request_timeout):
-            with self._stats_lock:
-                self.timeouts += 1
+            # mark it so the worker drops it instead of burning a forward
+            # on a result nobody will read (client retries would otherwise
+            # double the device load right at recovery)
+            item["abandoned"] = True
+            self._bump(timeouts=1)
             raise TimeoutError(
                 f"serving backend unresponsive for {self.request_timeout:.0f}s"
             )
@@ -179,12 +202,18 @@ class DynamicBatcher:
                     break        # one-forward-per-group contract
                 group.append(nxt)
                 size += len(nxt["q"])
+            # drop requests whose client already 504'd: nobody reads the
+            # result, and executing them would double the device load with
+            # retries exactly when a stalled device comes back
+            group = [it for it in group if not it["abandoned"]]
+            if not group:
+                continue
             qs = [q for it in group for q in it["q"]]
             ims = [im for it in group for im in it["im"]]
             topk = max(it["topk"] for it in group)
             try:
                 rows = self.service.answer_batch(qs, ims, topk=topk)
-                self.forwards += 1
+                self._bump(groups=1)
                 pos = 0
                 for it in group:
                     n = len(it["q"])
@@ -192,11 +221,13 @@ class DynamicBatcher:
                     pos += n
             except Exception:  # isolate the bad request: retry individually
                 for it in group:
+                    if it["abandoned"]:
+                        continue
                     try:
                         it["out"] = self.service.answer_batch(
                             it["q"], it["im"], topk=it["topk"]
                         )
-                        self.forwards += 1
+                        self._bump(groups=1)
                     except Exception as e:
                         it["err"] = e
             for it in group:
@@ -312,6 +343,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     enable_compile_cache()
     if (args.exported is None) == (args.dir_logs is None):
         p.error("exactly one of --dir_logs / --exported is required")
+    if args.request_timeout_s is not None and not args.dynamic_batching:
+        p.error("--request_timeout_s requires --dynamic_batching (the plain "
+                "service runs the forward on the request thread and cannot "
+                "abandon it)")
     if args.exported is not None:
         # fail loudly on flags the artifact makes meaningless — a silently
         # ignored --max_batch would benchmark the wrong batch size

@@ -56,8 +56,15 @@ def enable_compile_cache() -> None:
     """
     cache_dir = os.environ.get("VQA_TPU_COMPILE_CACHE")
     if cache_dir is None:
-        plat = getattr(jax.config, "jax_platforms", None) or ""
-        suffix = "cpu_" + host_isa_tag() if plat.startswith("cpu") else "device"
+        # the shared host-independent dir ONLY when a non-CPU platform is
+        # positively requested (config or env): an unset platform can still
+        # resolve to the CPU backend (plugin-init failure fallback), and
+        # host-specific CPU AOT entries must never land in the shared dir
+        plat = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+            "JAX_PLATFORMS", ""
+        ) or ""
+        non_cpu = bool(plat) and not plat.startswith("cpu")
+        suffix = "device" if non_cpu else "cpu_" + host_isa_tag()
         cache_dir = os.path.expanduser("~/.cache/vqa_tpu_jax_" + suffix)
     if not cache_dir or cache_dir == "0":
         return
