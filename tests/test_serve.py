@@ -215,6 +215,28 @@ def test_metrics_endpoint(served):
     assert m["rows_per_forward"] is not None
 
 
+def test_stats_readable_while_forward_blocked():
+    """/metrics must not block behind the device lock: the counters are the
+    operator's wedge diagnostics."""
+    import time as _time
+
+    class BlockingPredictor:
+        class dataset:  # noqa: N801 — duck-typed attribute bag
+            num_answers = 5
+
+        def answer_batch(self, q, im, topk=5):
+            _time.sleep(3600)
+
+    svc = AnswerService(BlockingPredictor(), max_batch=2)
+    t = threading.Thread(target=lambda: svc.answer_batch(["q"], ["i"]), daemon=True)
+    t.start()
+    _time.sleep(0.2)  # let the forward take the device lock
+    t0 = _time.monotonic()
+    s = svc.stats()
+    assert _time.monotonic() - t0 < 1.0, "stats blocked behind the device lock"
+    assert s["requests"] == 1 and s["forwards"] == 0
+
+
 def test_dynamic_batcher_request_timeout():
     """A wedged backend (forward never returns) must 504 the client within
     the deadline instead of hanging it forever."""
