@@ -300,6 +300,32 @@ def test_export_validate_gate(exported_run, capsys):
     assert "answer agreement 1.0000 over 12" in capsys.readouterr().out
 
 
+@pytest.mark.parametrize("config,dims", [
+    ("cor", ["model.fusion.dim_h=16"]),  # scan/unrolled relation chain
+    ("mfb_coatt", ["model.fusion.dim_mm=16", "model.fusion.pool_factor=2"]),
+])
+def test_structural_family_export_roundtrip(tmp_path, config, dims):
+    """The structurally-distinct families (CoR's relation chain, MFB's
+    co-attention) freeze and round-trip like the flagship."""
+    d = str(tmp_path)
+    generate(d, n_images=8, n_questions=32, seed=17)
+    logs = os.path.join(d, "logs")
+    rc = train_main([
+        "--path_opt", os.path.join(REPO, f"options/vqa2/{config}.yaml"),
+        "--dir_logs", logs, "--epochs", "1", "--batch_size", "16",
+        "--print_freq", "0",
+        "--opt", f"vqa.dir={d}/vqa2", "--opt", f"coco.dir={d}/coco",
+        "--opt", "vqa.nans=20",
+        "--opt", "model.seq2vec.emb_size=12", "--opt", "model.seq2vec.hidden_size=16",
+    ] + sum([["--opt", kv] for kv in dims], []))
+    assert rc == 0
+    out = os.path.join(d, "exported")
+    rc = export_main([
+        "--dir_logs", logs, "--out", out, "--batch", "4", "--validate", "8",
+    ])
+    assert rc == 0
+
+
 def test_noatt_export_roundtrip(tmp_path):
     """Shape generality: a noatt model (pooled [B, 2048] features, no region
     axis) exports and round-trips like the att families."""
