@@ -78,7 +78,13 @@ def _arm_watchdog():
             "unit": "QA pairs/sec/chip",
             "vs_baseline": 0.0,
             "error": f"watchdog: device unresponsive for {budget:.0f}s "
-                     "(tunnel/remote-compile wedge — see perf ledger)",
+                     "(tunnel/remote-compile wedge — see perf ledger; one "
+                     "r3 wedge outlasted 10h of hourly probes)",
+            "last_calibration_gated_reading": {
+                "value": 132081.7, "artifact": "EVAL_r03.json",
+                "note": "same eval path, device_ready-gated, this round — "
+                        "context only, NOT measured by this run",
+            },
         }), flush=True)
         os._exit(3)
 
