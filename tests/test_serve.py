@@ -258,6 +258,44 @@ def test_dynamic_batcher_request_timeout():
     assert _time.monotonic() - t0 < 5.0
 
 
+def test_dynamic_batcher_drops_abandoned_requests():
+    """A request whose client already 504'd must never reach the device
+    when its turn comes (retries would double the load at recovery)."""
+    import time as _time
+
+    from vqa_tpu.cli.serve import DynamicBatcher
+
+    class GatedService:
+        max_batch = 1
+        num_answers = 5
+
+        def __init__(self):
+            self.calls = []
+            self.gate = threading.Event()
+
+        def answer_batch(self, qs, ims, topk=5):
+            self.calls.append(list(qs))
+            if qs[0] == "A":
+                self.gate.wait()
+            return [[("yes", 1.0)]] * len(qs)
+
+    svc = GatedService()
+    dyn = DynamicBatcher(svc, max_wait_ms=1, request_timeout_s=0.3)
+    a = threading.Thread(
+        target=lambda: dyn.answer_batch(["A"], ["img"], topk=1), daemon=True
+    )
+    a.start()
+    _time.sleep(0.1)  # A is in-flight, holding the worker
+    with pytest.raises(TimeoutError):
+        dyn.answer_batch(["B"], ["img"], topk=1)  # queued behind A, times out
+    svc.gate.set()  # device "recovers"
+    a.join(timeout=5)
+    out = dyn.answer_batch(["C"], ["img"], topk=1)  # sanity: service live again
+    assert out[0][0][0] == "yes"
+    assert ["B"] not in svc.calls, "abandoned request still hit the device"
+    assert dyn.stats()["batcher"]["timeouts"] == 1
+
+
 def test_concurrent_requests_serialize_correctly(served):
     """ThreadingHTTPServer + the service lock: concurrent posts both get
     correct, row-aligned answers (device work serializes, requests don't

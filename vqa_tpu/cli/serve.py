@@ -140,7 +140,7 @@ class DynamicBatcher:
                 self._stats[k] += v
 
     def stats(self) -> dict:
-        s = self.service.stats()
+        s = getattr(self.service, "stats", dict)()
         with self._stats_lock:
             b = dict(self._stats)
         b["queue_depth"] = self._q.qsize()
