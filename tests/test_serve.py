@@ -100,6 +100,19 @@ def test_bad_requests(served):
     assert e.value.code == 404
 
 
+def test_unknown_image_is_404_not_missing_field(served):
+    _, _, base = served
+    status, body = _post(
+        base + "/answer", {"question": "q", "image": "no-such-image"}
+    )
+    # a feature-store miss is a lookup failure (404 with the store's own
+    # message), not a malformed request ("missing field") — the two
+    # KeyError sources used to be conflated
+    assert status == 404
+    assert "no-such-image" in body["error"]
+    assert "missing field" not in body["error"]
+
+
 def test_topk_validation(served):
     _, service, base = served
     image_req = {"question": "q", "image": "img"}

@@ -111,8 +111,9 @@ def main() -> None:
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from vqa_tpu.utils import force_platform
+
+    force_platform(args.platform)
 
     import tempfile
 

@@ -115,8 +115,9 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--platform", default=None)
     args = p.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from vqa_tpu.utils import force_platform
+
+    force_platform(args.platform)
 
     from vqa_tpu.utils import enable_compile_cache
 

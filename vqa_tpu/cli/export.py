@@ -58,10 +58,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         # the quantized pairs must live as baked program constants
         p.error("--weights_dtype int8 requires --params baked")
 
-    if args.platform:
-        import jax
+    from vqa_tpu.utils import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    force_platform(args.platform)
 
     from vqa_tpu.export import save_export
     from vqa_tpu.predictor import Predictor

@@ -46,8 +46,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py)")
     args = p.parse_args(argv)
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from vqa_tpu.utils import force_platform
+
+    force_platform(args.platform)
 
     files = sorted(
         f for f in os.listdir(args.dir_images)

@@ -275,22 +275,33 @@ def make_handler(service: AnswerService):
                         "error": f"topk must be in [1, {service.num_answers}]",
                     })
                     return
+                fields = {"/answer": ("question", "image"),
+                          "/batch": ("questions", "images")}.get(self.path)
+                if fields is None:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+                missing = [k for k in fields if k not in req]
+                if missing:
+                    # explicit check: a KeyError from deeper in the service
+                    # (e.g. an unknown image name) must not masquerade as a
+                    # malformed request
+                    self._send(400, {"error": f"missing field(s) {missing}"})
+                    return
                 if self.path == "/answer":
                     answers = service.answer_batch(
                         [req["question"]], [req["image"]], topk=topk
                     )[0]
                     self._send(200, {"answers": answers})
-                elif self.path == "/batch":
+                else:
                     answers = service.answer_batch(
                         req["questions"], req["images"], topk=topk
                     )
                     self._send(200, {"answers": answers})
-                else:
-                    self._send(404, {"error": f"unknown path {self.path}"})
             except TimeoutError as e:
                 self._send(504, {"error": str(e)})
             except KeyError as e:
-                self._send(400, {"error": f"missing field {e}"})
+                # the feature store raises KeyError for unknown image names
+                self._send(404, {"error": e.args[0] if e.args else str(e)})
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception:  # noqa: BLE001 — internal failure, not the client's
@@ -336,10 +347,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from vqa_tpu.utils import enable_compile_cache
 
-    if args.platform:
-        import jax
+    from vqa_tpu.utils import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    force_platform(args.platform)
     enable_compile_cache()
     if (args.exported is None) == (args.dir_logs is None):
         p.error("exactly one of --dir_logs / --exported is required")

@@ -165,10 +165,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from vqa_tpu.utils import enable_compile_cache
 
     args = build_argparser().parse_args(argv)
-    if args.platform:
-        # before any device use (backends initialize once); the config API
-        # wins over env vars even where a site hook rewrites JAX_PLATFORMS
-        jax.config.update("jax_platforms", args.platform)
+    from vqa_tpu.utils import force_platform
+
+    # distributed init must itself run before any device use, so the eager
+    # plugin-name verification inside force_platform is deferred for it
+    force_platform(args.platform, defer=args.distributed)
     if args.distributed:
         # must run before any jax device use (backends initialize once)
         from vqa_tpu.parallel.distributed import initialize as dist_init

@@ -34,10 +34,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py)")
     args = p.parse_args(argv)
-    if args.platform:
-        import jax
+    from vqa_tpu.utils import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    force_platform(args.platform)
 
     predictor = Predictor.from_run(
         args.dir_logs, args.path_opt, resume=args.resume, overrides=args.opt

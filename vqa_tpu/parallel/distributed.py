@@ -47,7 +47,9 @@ def initialize(
     import os
 
     platforms = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in platforms or jax.config.read("jax_platforms") == "cpu":
+    # NB: config.read() raises AttributeError for contextmanager-backed
+    # flags like jax_platforms; the attribute access is the supported API
+    if "cpu" in platforms or jax.config.jax_platforms == "cpu":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     kwargs = {}
     if coordinator_address is not None:
