@@ -218,6 +218,21 @@ def main() -> None:
             cal_waits += 1
             time.sleep(45.0)  # zero device traffic: let the backlog drain
 
+    # --- host-contention guard (measured r3s4) ------------------------------
+    # The timed loop needs host dispatch throughput (per-batch device_put +
+    # enqueue); a busy host depressed the reading 23% while the device-bound
+    # calibration stayed clean (104.3k @ cal 132.4 with a pytest run sharing
+    # the host; 134.9k @ cal 137.7 idle). The calibration CANNOT see this, so
+    # wait (bounded) for the 1-min loadavg to settle and record it either way.
+    host_load = None
+    if hasattr(os, "getloadavg"):
+        deadline = time.perf_counter() + 120.0
+        while True:
+            host_load = round(os.getloadavg()[0], 2)
+            if host_load <= 2.0 or time.perf_counter() > deadline:
+                break
+            time.sleep(20.0)
+
     # best of 2 passes: the tunneled device interleaves leftover work from a
     # previous process into this one's timed region (root-caused r2 — the
     # 'batch-2048 collapse' was exactly this), so a single pass can undercount
@@ -232,6 +247,8 @@ def main() -> None:
     if cal_tflops is not None:
         record["cal_tflops"] = cal_tflops  # probe rate at measurement time
         record["cal_waits"] = cal_waits    # 45s idle-waits before in-band
+    if host_load is not None:
+        record["host_load_1m"] = host_load  # >2 at pass time taints the value
     if watchdog is not None:
         watchdog.cancel()
     print(json.dumps(record))
