@@ -115,6 +115,61 @@ def test_resume_missing_epoch_fails_loudly(tmp_path):
         ckpt.restore(_state(0.0), "latest")
 
 
+def test_step_checkpoint_save_prunes_previous_and_survives_crash(tmp_path, monkeypatch):
+    """Mid-epoch step checkpoints (engine.checkpoint_steps): exactly one
+    lives at a time, and a crash during the NEXT step save must leave the
+    previous one restorable (info flips only after the new dir finalizes)."""
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save_step(_state(1.0), epoch=0, next_step=2)
+    assert ckpt.step_info() == (0, 2)
+    ckpt.save_step(_state(2.0), epoch=0, next_step=4)
+    assert ckpt.step_info() == (0, 4)
+    # superseded dir pruned, new one present
+    assert not os.path.exists(os.path.join(str(tmp_path), "inepoch_0000_00000002"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "inepoch_0000_00000004"))
+
+    def crashing_save(path, state):
+        os.makedirs(str(path) + ".orbax-checkpoint-tmp-9", exist_ok=True)
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(ckpt._ckptr, "save", crashing_save)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ckpt.save_step(_state(3.0), epoch=0, next_step=6)
+
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr.step_info() == (0, 4)
+    restored, epoch, next_step = mgr.restore_step(_state(0.0))
+    assert (epoch, next_step) == (0, 4)
+    np.testing.assert_array_equal(_kernel(restored), np.full((3, 4), 2.0))
+
+
+def test_clear_step_removes_point_and_dir(tmp_path):
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.clear_step()  # no-op without a live point
+    ckpt.save_step(_state(1.0), epoch=1, next_step=8)
+    ckpt.clear_step()
+    assert ckpt.step_info() is None
+    assert not [d for d in os.listdir(str(tmp_path)) if d.startswith("inepoch_")]
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore_step(_state(0.0))
+
+
+def test_step_checkpoint_does_not_disturb_epoch_bookkeeping(tmp_path):
+    """Epoch saves, best/latest pointers, and pruning ignore the step
+    checkpoint; the step dir never shows up in the epochs list."""
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(_state(1.0), epoch=0, acc=0.5)
+    ckpt.save_step(_state(1.5), epoch=1, next_step=2)
+    ckpt.save(_state(2.0), epoch=1, acc=0.9)
+    ckpt.clear_step()
+    info = ckpt.info()
+    assert info["latest"] == 1 and info["best"] == 1
+    assert info["epochs"] == [0, 1] or set(info["epochs"]) <= {0, 1}
+    restored, epoch = ckpt.restore(_state(0.0), "best")
+    assert epoch == 1
+    np.testing.assert_array_equal(_kernel(restored), np.full((3, 4), 2.0))
+
+
 def test_info_survives_json_roundtrip_with_resume_retrain(tmp_path):
     """Crash after epoch N, resume, retrain same epoch: the epochs list must
     not duplicate and pruning must not delete the live resume point."""

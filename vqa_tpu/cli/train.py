@@ -45,6 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="best | latest | <epoch>")
     p.add_argument("--save_model", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--save_all_from", type=int, default=None)
+    p.add_argument("--checkpoint_every_steps", type=int, default=None,
+                   help="mid-epoch preemption points every N train steps "
+                        "(engine.checkpoint_steps); --resume latest restores "
+                        "them bit-identically")
     # short/long spellings follow the reference lineage's train.py
     p.add_argument("-lr", "--lr", "--learning_rate", dest="lr",
                    type=float, default=None)
@@ -88,6 +92,7 @@ def options_from_args(args) -> Options:
         "optim.batch_size": args.batch_size,
         "optim.epochs": args.epochs,
         "engine.print_freq": args.print_freq,
+        "engine.checkpoint_steps": args.checkpoint_every_steps,
         "engine.seed": args.seed,
         "engine.profile_dir": args.profile_dir,
         "vqa.trainsplit": args.vqa_trainsplit,
@@ -230,14 +235,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     state = place(create_state(model, params, tx))
 
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), args.save_all_from)
-    start_epoch = 0
+    start_epoch, resume_step = 0, 0
     if args.resume is not None:
-        state, resumed_epoch = ckpt.restore(state, args.resume)
-        state = place(state)
-        start_epoch = resumed_epoch + 1
-        print(f"resumed from epoch {resumed_epoch} (best acc {ckpt.best_acc})", flush=True)
+        # a live mid-epoch checkpoint (engine.checkpoint_steps) outranks the
+        # per-epoch saves for a training '--resume latest': it is strictly
+        # newer (clear_step drops it the moment its epoch completes). Eval-
+        # only and best/<epoch> resumes keep full-epoch semantics.
+        step_latest = (
+            ckpt.step_info()
+            if args.resume == "latest" and not args.evaluate
+            else None
+        )
+        if step_latest is not None and (
+            ckpt.info().get("latest") is None
+            or step_latest[0] > ckpt.info()["latest"]
+        ):
+            state, start_epoch, resume_step = ckpt.restore_step(state)
+            state = place(state)
+            print(
+                f"resumed mid-epoch {start_epoch} at step {resume_step} "
+                f"(best acc {ckpt.best_acc})",
+                flush=True,
+            )
+        else:
+            state, resumed_epoch = ckpt.restore(state, args.resume)
+            state = place(state)
+            start_epoch = resumed_epoch + 1
+            print(f"resumed from epoch {resumed_epoch} (best acc {ckpt.best_acc})", flush=True)
     if args.start_epoch is not None:
         start_epoch = args.start_epoch
+        resume_step = 0
 
     # --- pipelines -----------------------------------------------------------
     input_dtype = None if opt.engine.dtype == "float32" else jnp.bfloat16
@@ -385,10 +412,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             shard_even=n_proc > 1,
             **train_bucketing,
         )
+        def step_checkpoint(s, epoch, next_step):
+            # same global-vs-numpy choice as the per-epoch save below
+            to_save = s if jax.process_count() > 1 else jax.device_get(s)
+            ckpt.save_step(to_save, epoch, next_step)
+
         for epoch in range(start_epoch, opt.optim.epochs):
             state, _ = engine_lib.train(
                 train_loader, state, train_step, rng, exp, epoch,
                 opt.engine.print_freq if is_primary else 0, features=features,
+                start_step=resume_step if epoch == start_epoch else 0,
+                checkpoint_every=(
+                    opt.engine.checkpoint_steps if args.save_model else 0
+                ),
+                step_checkpoint=step_checkpoint,
             )
             acc1, _ = engine_lib.validate(
                 val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp,
@@ -399,6 +436,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # coordinated path); single-host keeps the numpy snapshot
                 to_save = state if jax.process_count() > 1 else jax.device_get(state)
                 is_best = ckpt.save(to_save, epoch, acc1)
+                ckpt.clear_step()  # the full-epoch save supersedes it
                 if is_best:
                     print(f"new best acc1 {acc1*100:.2f} @ epoch {epoch}", flush=True)
         return 0

@@ -177,6 +177,13 @@ class EngineOptions:
     # bottom-up); the in-step gather becomes an XLA-partitioned collective
     features_sharded: bool = False
     model_parallel: int = 1            # mesh 'model'-axis size (TP seam, section 2.3)
+    # mid-epoch preemption points: every N train steps, save a step
+    # checkpoint (kept alongside the per-epoch saves; exactly one at a
+    # time, superseded when its epoch completes). --resume latest restores
+    # it and fast-forwards the deterministic pipeline to the exact batch,
+    # bit-identical to an uninterrupted run (dropout folds state.step;
+    # epoch order is a pure function of (seed, epoch)). 0 = off.
+    checkpoint_steps: int = 0
     # train-time bucketed shuffling: sort by length inside windows of
     # N*batch_size, shuffle batch order; cuts LSTM steps to ~mean length.
     # 0 = off (the reference's exact uniform shuffle)

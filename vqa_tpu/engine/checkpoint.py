@@ -46,6 +46,9 @@ class CheckpointManager:
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.directory, f"epoch_{epoch:04d}")
 
+    def _step_dir(self, epoch: int, step: int) -> str:
+        return os.path.join(self.directory, f"inepoch_{epoch:04d}_{step:08d}")
+
     # -- save / restore ------------------------------------------------------
 
     def save(self, state, epoch: int, acc: Optional[float] = None) -> bool:
@@ -92,6 +95,63 @@ class CheckpointManager:
                 shutil.rmtree(path)
             info["epochs"].remove(epoch)
         self._write_info(info)
+
+    # -- mid-epoch preemption points (engine.checkpoint_steps) ----------------
+
+    def save_step(self, state, epoch: int, next_step: int) -> None:
+        """Save a mid-epoch preemption point: ``next_step`` batches of
+        ``epoch`` are done, resume starts at batch index ``next_step``.
+
+        Exactly one step checkpoint exists at a time. Crash-safe ordering
+        mirrors ``save``: finalize the new dir, flip the info record, only
+        then delete the superseded dir — a crash at any point leaves
+        info.json pointing at a finalized directory."""
+        primary = jax.process_index() == 0
+        prev = self.info().get("step_latest")
+        path = self._step_dir(epoch, next_step)
+        if primary and os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        info = self.info()
+        info["step_latest"] = [epoch, next_step]
+        if primary:
+            self._write_info(info)
+            if prev is not None and list(prev) != [epoch, next_step]:
+                old = self._step_dir(*prev)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+
+    def clear_step(self) -> None:
+        """Drop the step checkpoint once its epoch's full save supersedes it
+        (info first, then the dir — same crash-safe order as save_step)."""
+        info = self.info()
+        prev = info.get("step_latest")
+        if prev is None:
+            return
+        info["step_latest"] = None
+        if jax.process_index() == 0:
+            self._write_info(info)
+            old = self._step_dir(*prev)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+    def step_info(self) -> Optional[Tuple[int, int]]:
+        """(epoch, next_step) of the live mid-epoch checkpoint, if any."""
+        v = self.info().get("step_latest")
+        return (int(v[0]), int(v[1])) if v else None
+
+    def restore_step(self, state_template) -> Tuple[Any, int, int]:
+        """Restore the mid-epoch checkpoint; returns (state, epoch, next_step)."""
+        latest = self.step_info()
+        if latest is None:
+            raise FileNotFoundError(
+                f"no mid-epoch checkpoint recorded under {self.directory}"
+            )
+        epoch, next_step = latest
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        state = self._ckptr.restore(self._step_dir(epoch, next_step), abstract)
+        return state, epoch, next_step
 
     def resolve(self, which: Union[str, int]) -> int:
         info = self.info()

@@ -109,15 +109,39 @@ def train(
     epoch: int,
     print_freq: int = 10,
     features=None,
+    start_step: int = 0,
+    checkpoint_every: int = 0,
+    step_checkpoint=None,
 ) -> Tuple[Any, Dict[str, float]]:
+    """One training epoch. ``start_step``/``checkpoint_every``/
+    ``step_checkpoint`` implement mid-epoch preemption points
+    (engine.checkpoint_steps): the epoch stream is a pure function of
+    (seed, epoch), so skipping the first ``start_step`` batches after a
+    restore replays the interrupted epoch exactly — and dropout folds
+    ``state.step``, so the resumed run is bit-identical to an
+    uninterrupted one. ``step_checkpoint(state, epoch, next_step)`` is
+    called after every ``checkpoint_every`` executed steps (never on the
+    last step — the epoch save supersedes it). Logged epoch averages
+    cover only the executed steps of a resumed epoch."""
     meters = MeterBank()
+    steps_total = loader.steps_per_epoch()
     step_metrics: list = []  # device-side; one stacked transfer at epoch end
     t_data = time.perf_counter()
     for i, batch in enumerate(loader.epoch(epoch)):
+        if i < start_step:
+            t_data = time.perf_counter()
+            continue
         device_batch, _, _ = _split_batch(batch)
         data_time = time.perf_counter() - t_data
         state, metrics = train_step(state, device_batch, rng, features)
         step_metrics.append(metrics)
+        if (
+            checkpoint_every
+            and step_checkpoint is not None
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < steps_total
+        ):
+            step_checkpoint(state, epoch, i + 1)
         if print_freq and (i % print_freq == 0 or i + 1 == loader.steps_per_epoch()):
             # metrics fetch syncs; only do it on print steps
             host = {k: float(v) for k, v in metrics.items()}
