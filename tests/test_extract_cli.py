@@ -74,3 +74,22 @@ def test_extract_cli_loads_params_npz(tmp_path):
     fb = FeatureStore(str(out_b), "resnet50", "noatt", "ram").get(np.asarray([0]))
     # identical loaded weights -> identical features despite different seeds
     np.testing.assert_array_equal(fa, fb)
+
+
+def test_bench_extract_smoke(capsys):
+    """tools/bench_extract.py emits a well-formed JSON line with XLA
+    cost-analysis FLOPs (the conv-path throughput artifact's producer)."""
+    import json
+
+    from tools.bench_extract import main as bench_main
+
+    bench_main([
+        "--arch", "resnet50", "--batch", "1", "--size", "32",
+        "--steps", "1", "--dtype", "float32",
+    ])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "grid_extract_throughput"
+    assert rec["value"] > 0
+    assert rec["flops_per_image"] > 0  # cost analysis found the convs
+    assert rec["unit"] == "images/sec/chip"

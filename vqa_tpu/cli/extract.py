@@ -43,6 +43,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=448)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="compute dtype for the conv forward (params stay f32; "
+                        "bfloat16 rides the MXU at full rate)")
     p.add_argument("--platform", default=None, metavar="cpu|tpu|...",
                    help="force the jax backend (config API; see cli/train.py)")
     args = p.parse_args(argv)
@@ -58,7 +61,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"no images under {args.dir_images}", file=sys.stderr)
         return 1
 
-    model = convnets.factory(args.arch)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = convnets.factory(args.arch, dtype=compute_dtype)
     sample = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     variables = model.init(jax.random.key(args.seed), sample)
     if args.params:
@@ -71,10 +75,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         print("warning: no --params given; extracting with random-init weights")
 
+    # params are a jit ARGUMENT, not a closure: closed-over arrays embed as
+    # HLO constants, and a ResNet-152's ~240MB of them blows the remote-
+    # compile helper's request cap on this image (the 413 trap, CLAUDE.md)
     @jax.jit
-    def forward(batch):
+    def forward(variables, batch):
         grid = model.apply(variables, batch)
-        return convnets.grid_features(grid, args.mode)
+        # store f32 regardless of compute dtype (the HDF5 store is f32)
+        return convnets.grid_features(grid, args.mode).astype(jnp.float32)
 
     names, feats = [], []
     for start in range(0, len(files), args.batch):
@@ -83,7 +91,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pad = args.batch - len(chunk)
         if pad:
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-        out = np.asarray(forward(jnp.asarray(batch)))[: len(chunk)]
+        out = np.asarray(forward(variables, jnp.asarray(batch)))[: len(chunk)]
         feats.append(out)
         names.extend(os.path.splitext(f)[0] for f in chunk)
         print(f"\rextracted {len(names)}/{len(files)}", end="", flush=True)
