@@ -183,6 +183,9 @@ class EngineOptions:
     # it and fast-forwards the deterministic pipeline to the exact batch,
     # bit-identical to an uninterrupted run (dropout folds state.step;
     # epoch order is a pure function of (seed, epoch)). 0 = off.
+    # Cost: one flagship-dims save measured 2.4s warm / 170MB (r3s4), and
+    # the save is synchronous — pick N worth minutes of compute (e.g.
+    # N=5000 at ~50ms/step ≈ 1% overhead) rather than seconds.
     checkpoint_steps: int = 0
     # train-time bucketed shuffling: sort by length inside windows of
     # N*batch_size, shuffle batch order; cuts LSTM steps to ~mean length.
