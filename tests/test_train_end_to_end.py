@@ -259,6 +259,66 @@ def test_midepoch_preemption_resume_is_bit_identical(fix, tmp_path_factory, monk
         assert xa.tobytes() == xb.tobytes()
 
 
+def test_sigterm_preemption_checkpoints_and_resumes_bit_identical(
+    fix, tmp_path_factory, monkeypatch
+):
+    """A REAL SIGTERM mid-training (the preemptible-VM eviction signal) makes
+    the run save a step checkpoint at the next boundary and exit 75; resuming
+    finishes byte-identical to a straight run."""
+    import os as _os
+    import signal
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from vqa_tpu.engine.checkpoint import CheckpointManager
+
+    a = str(tmp_path_factory.mktemp("straight3"))
+    b = str(tmp_path_factory.mktemp("sigtermed"))
+    assert main(_argv(fix, a, ["--epochs", "2"])) == 0
+
+    real_save_step = CheckpointManager.save_step
+
+    def save_then_sigterm(self, state, epoch, next_step):
+        real_save_step(self, state, epoch, next_step)
+        if epoch == 1 and next_step == 2:
+            _os.kill(_os.getpid(), signal.SIGTERM)  # delivered to main thread
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    monkeypatch.setattr(CheckpointManager, "save_step", save_then_sigterm)
+    try:
+        rc = main(_argv(
+            fix, b, ["--epochs", "2", "--checkpoint_every_steps", "2"],
+        ))
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
+    monkeypatch.setattr(CheckpointManager, "save_step", real_save_step)
+    assert rc == 75  # EX_TEMPFAIL: rerun to continue
+
+    mgr = CheckpointManager(os.path.join(b, "ckpt"))
+    # the signal landed after the periodic (1, 2) save; the preemption save
+    # fires at the NEXT boundary
+    assert mgr.step_info() == (1, 3)
+
+    try:
+        rc = main(_argv(
+            fix, b, ["--epochs", "2", "--checkpoint_every_steps", "2",
+                     "--resume", "latest"],
+        ))
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
+    assert rc == 0
+    assert mgr.step_info() is None
+
+    ckptr = ocp.StandardCheckpointer()
+    ta = ckptr.restore(os.path.join(a, "ckpt", "epoch_0001"))
+    tb = ckptr.restore(os.path.join(b, "ckpt", "epoch_0001"))
+    assert jax.tree.structure(ta) == jax.tree.structure(tb)
+    for xa, xb in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+        assert np.asarray(xa).tobytes() == np.asarray(xb).tobytes()
+
+
 def test_visu_cli_smoke(trained, tmp_path, capsys):
     """Attention visualization demo runs headless off a trained run dir
     (SURVEY.md C23; VERDICT r1 weak item 8)."""

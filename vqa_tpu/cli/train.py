@@ -417,28 +417,46 @@ def main(argv: Optional[List[str]] = None) -> int:
             to_save = s if jax.process_count() > 1 else jax.device_get(s)
             ckpt.save_step(to_save, epoch, next_step)
 
-        for epoch in range(start_epoch, opt.optim.epochs):
-            state, _ = engine_lib.train(
-                train_loader, state, train_step, rng, exp, epoch,
-                opt.engine.print_freq if is_primary else 0, features=features,
-                start_step=resume_step if epoch == start_epoch else 0,
-                checkpoint_every=(
-                    opt.engine.checkpoint_steps if args.save_model else 0
-                ),
-                step_checkpoint=step_checkpoint,
+        # SIGTERM -> checkpoint at the next step boundary and exit 75
+        # (preemptible VMs give a grace period; the run loses zero steps).
+        # Single-process only: a per-host signal would start a coordinated
+        # Orbax save on one process and deadlock the others.
+        if args.save_model and jax.process_count() == 1:
+            engine_lib.install_preemption_handler()
+
+        try:
+            for epoch in range(start_epoch, opt.optim.epochs):
+                state, _ = engine_lib.train(
+                    train_loader, state, train_step, rng, exp, epoch,
+                    opt.engine.print_freq if is_primary else 0, features=features,
+                    start_step=resume_step if epoch == start_epoch else 0,
+                    checkpoint_every=(
+                        opt.engine.checkpoint_steps if args.save_model else 0
+                    ),
+                    step_checkpoint=step_checkpoint if args.save_model else None,
+                )
+                acc1, _ = engine_lib.validate(
+                    val_loader, state, eval_step, val_set.vocabs.aid_to_ans,
+                    exp, epoch, features=features,
+                )
+                if args.save_model:
+                    # multi-process: hand Orbax the global jax arrays (its
+                    # native coordinated path); single-host keeps the numpy
+                    # snapshot
+                    to_save = (
+                        state if jax.process_count() > 1 else jax.device_get(state)
+                    )
+                    is_best = ckpt.save(to_save, epoch, acc1)
+                    ckpt.clear_step()  # the full-epoch save supersedes it
+                    if is_best:
+                        print(f"new best acc1 {acc1*100:.2f} @ epoch {epoch}", flush=True)
+        except engine_lib.Preempted as p:
+            print(
+                f"preempted: checkpoint saved at epoch {p.epoch} step "
+                f"{p.next_step}; continue with --resume latest",
+                flush=True,
             )
-            acc1, _ = engine_lib.validate(
-                val_loader, state, eval_step, val_set.vocabs.aid_to_ans, exp,
-                epoch, features=features,
-            )
-            if args.save_model:
-                # multi-process: hand Orbax the global jax arrays (its native
-                # coordinated path); single-host keeps the numpy snapshot
-                to_save = state if jax.process_count() > 1 else jax.device_get(state)
-                is_best = ckpt.save(to_save, epoch, acc1)
-                ckpt.clear_step()  # the full-epoch save supersedes it
-                if is_best:
-                    print(f"new best acc1 {acc1*100:.2f} @ epoch {epoch}", flush=True)
+            return 75  # EX_TEMPFAIL: rerun to continue
         return 0
     finally:
         if opt.engine.profile_dir:

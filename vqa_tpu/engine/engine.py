@@ -23,6 +23,43 @@ from vqa_tpu.engine.meters import MeterBank
 
 DEVICE_KEYS = ("visual", "image_index", "question", "length", "answer", "valid")
 
+# -- preemption (SIGTERM -> checkpoint at the next step boundary) -------------
+# Preemptible TPU VMs get SIGTERM with a grace period before eviction; the
+# handler only sets a flag (async-signal-safe), and the train loop saves a
+# mid-epoch checkpoint at the next step boundary and raises Preempted so the
+# CLI can exit cleanly — the run then resumes with --resume latest losing
+# zero steps instead of up to checkpoint_steps of work.
+
+import threading as _threading
+
+_PREEMPT = _threading.Event()
+
+
+class Preempted(Exception):
+    """Raised by train() after the preemption checkpoint landed."""
+
+    def __init__(self, epoch: int, next_step: int):
+        super().__init__(f"preempted at epoch {epoch}, step {next_step}")
+        self.epoch = epoch
+        self.next_step = next_step
+
+
+def request_preemption() -> None:
+    """Flag the train loop to checkpoint-and-stop at the next boundary."""
+    _PREEMPT.set()
+
+
+def install_preemption_handler() -> bool:
+    """SIGTERM -> request_preemption(). Returns False when not installable
+    (signal handlers only work on the main thread). Clears any stale flag."""
+    import signal
+
+    if _threading.current_thread() is not _threading.main_thread():
+        return False
+    _PREEMPT.clear()
+    signal.signal(signal.SIGTERM, lambda *_: _PREEMPT.set())
+    return True
+
 
 def make_device_transform(sharding=None, dtype=None, multihost=None):
     """Pipeline transform: put compute keys on device, keep qids on host.
@@ -135,6 +172,11 @@ def train(
         data_time = time.perf_counter() - t_data
         state, metrics = train_step(state, device_batch, rng, features)
         step_metrics.append(metrics)
+        if step_checkpoint is not None and _PREEMPT.is_set():
+            # SIGTERM landed: save NOW (not at the periodic boundary) and
+            # hand control back — the grace period is short
+            step_checkpoint(state, epoch, i + 1)
+            raise Preempted(epoch, i + 1)
         if (
             checkpoint_every
             and step_checkpoint is not None
