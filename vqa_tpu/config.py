@@ -128,6 +128,10 @@ class OptimOptions:
     lr_decay: Optional[float] = None   # multiplicative per-epoch decay
     grad_clip: Optional[float] = None
     eval_batch_size: Optional[int] = None
+    # accumulate k micro-batch gradients (mean) per applied update — an
+    # effective batch of k*batch_size without the HBM footprint. Changes
+    # the opt_state tree: checkpoints don't resume across on/off.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass

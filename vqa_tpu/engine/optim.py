@@ -14,9 +14,13 @@ from vqa_tpu.config import OptimOptions
 def make_schedule(opt: OptimOptions, steps_per_epoch: int):
     if opt.lr_decay is None:
         return opt.lr
+    # The inner optimizer's step count advances once per APPLIED update;
+    # under grad_accum=k that is steps_per_epoch/k per data epoch, so the
+    # per-epoch decay boundary must shrink by the same factor.
+    applied_per_epoch = max(steps_per_epoch // max(opt.grad_accum, 1), 1)
     return optax.exponential_decay(
         init_value=opt.lr,
-        transition_steps=max(steps_per_epoch, 1),
+        transition_steps=applied_per_epoch,
         decay_rate=opt.lr_decay,
         staircase=True,
     )
@@ -37,7 +41,15 @@ def factory(opt: OptimOptions, steps_per_epoch: int = 1) -> optax.GradientTransf
     if opt.weight_decay:
         chain.append(optax.add_decayed_weights(opt.weight_decay))
     chain.append(core)
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if opt.grad_accum > 1:
+        # k micro-batches of size B accumulate (mean) into one applied
+        # update — semantically a batch of k*B that need not fit in HBM.
+        # Clip/decay sit inside, so they see the averaged gradient exactly
+        # as a real k*B batch would. NOTE: MultiSteps wraps the opt_state,
+        # so checkpoints do not resume across a grad_accum on/off change.
+        tx = optax.MultiSteps(tx, every_k_schedule=opt.grad_accum)
+    return tx
 
 
 def criterion_factory(name: str = "cross_entropy"):
