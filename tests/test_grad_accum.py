@@ -75,6 +75,67 @@ def test_lr_decay_boundary_counts_applied_updates_not_micro_steps():
     np.testing.assert_allclose(w[7], -0.30, rtol=1e-6)
 
 
+def test_grad_accum_composes_with_tp_sharding():
+    # MultiSteps nests the opt_state (acc_grads mirror the params); the
+    # shape-based per-leaf TP rule must still lay it out and the sharded
+    # step must match the replicated one.
+    from vqa_tpu.engine.optim import criterion_factory
+    from vqa_tpu.engine.steps import create_state, make_train_step
+    from vqa_tpu.models import factory as model_factory
+    from vqa_tpu.parallel import batch_sharding, make_mesh, replicated, shard_state_tp
+    from vqa_tpu.config import ModelOptions
+
+    B, R, DV, T, VOCAB, NANS = 8, 5, 12, 6, 31, 7
+    model = model_factory(
+        ModelOptions(
+            arch="MLBAtt",
+            seq2vec={"arch": "lstm", "emb_size": 8, "hidden_size": 16},
+            attention={"nb_glimpses": 2, "dim_h": 16},
+            fusion={"arch": "mlb", "dim_h": 16},
+        ),
+        VOCAB, NANS,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "visual": jnp.asarray(rng.standard_normal((B, R, DV)), jnp.float32),
+        "question": jnp.asarray(rng.integers(1, VOCAB, (B, T)), jnp.int32),
+        "length": jnp.full((B,), T, jnp.int32),
+        "answer": jnp.asarray(rng.integers(0, NANS, (B,)), jnp.int32),
+    }
+    params = model.init(
+        jax.random.key(0), batch["visual"], batch["question"], batch["length"]
+    )["params"]
+    tx = factory(OptimOptions(lr=0.1, optimizer="sgd", momentum=0.0,
+                              grad_accum=2))
+    state = create_state(model, params, tx)
+    step = make_train_step(criterion_factory(), donate=False)
+    key = jax.random.key(1)
+
+    mesh_dp = make_mesh(jax.devices(), model_parallel=1)
+    s_dp = jax.device_put(state, replicated(mesh_dp))
+    b_dp = jax.device_put(batch, batch_sharding(mesh_dp))
+    mesh_tp = make_mesh(jax.devices(), model_parallel=2)
+    s_tp = shard_state_tp(state, mesh_tp, min_size=64)
+    b_tp = jax.device_put(batch, batch_sharding(mesh_tp))
+
+    for _ in range(2):  # one full accumulation window
+        s_dp, m_dp = step(s_dp, b_dp, key)
+        s_tp, m_tp = step(s_tp, b_tp, key)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    for x, y in zip(
+        jax.tree.leaves(jax.device_get(s_dp.params)),
+        jax.tree.leaves(jax.device_get(s_tp.params)),
+    ):
+        np.testing.assert_allclose(x, y, rtol=2e-4, atol=1e-5)
+    # the window closed: params actually moved
+    moved = any(
+        not np.allclose(x, y)
+        for x, y in zip(jax.tree.leaves(jax.device_get(s_dp.params)),
+                        jax.tree.leaves(params))
+    )
+    assert moved
+
+
 def test_train_step_runs_under_grad_accum():
     # engine smoke: the jitted train step accepts a MultiSteps-wrapped tx
     # (opt_state tree changes shape; step counts micro-steps) and learns.
