@@ -334,3 +334,59 @@ def test_concurrent_requests_serialize_correctly(served):
         t.join()
     for got, expect in zip(results, want):
         assert [a for a, _ in got] == [a for a, _ in expect]
+
+
+def test_server_absorbs_connection_churn():
+    """Regression for the r3 ConnectionResetError(104)s: the kernel listen
+    queue must be deep enough to absorb one-connection-per-request churn
+    while the accept loop waits on the GIL (stdlib default backlog of 5
+    overflowed at 16 clients; the kernel RSTs past the queue), and HTTP/1.1
+    keep-alive must be on so well-behaved clients stay out of it."""
+    from vqa_tpu.cli.serve import VQAHTTPServer, make_handler
+
+    assert VQAHTTPServer.request_queue_size >= 128
+    assert VQAHTTPServer.daemon_threads
+
+    class _Svc:  # make_handler only needs .num_answers for topk validation
+        num_answers = 10
+
+    assert make_handler(_Svc()).protocol_version == "HTTP/1.1"
+
+
+def test_dynamic_batcher_quiescence_window(served):
+    """A staggered burst (arrivals a few ms apart) coalesces into ONE group:
+    each arrival re-arms the inter-arrival gap, so the group closes one quiet
+    gap after the LAST straggler — not batch_wait_ms after the first (which
+    caught ~half the burst in SERVE_r03)."""
+    import time
+
+    from vqa_tpu.cli.serve import DynamicBatcher
+
+    predictor, _, _ = served
+    names = predictor.dataset.split.image_names
+    n = 6
+    # gap 60ms, stagger 25ms: a first-arrival-only window (60ms) would close
+    # after ~2 arrivals; the re-armed gap must catch all n
+    dyn = DynamicBatcher(AnswerService(predictor, max_batch=16),
+                         max_wait_ms=60, window_ms=2000)
+    coalesced = False
+    for _ in range(3):  # timing-dependent: retry like the coalescing test
+        before = dyn.forwards
+        results = [None] * n
+
+        def hit(i):
+            results[i] = dyn.answer_batch(
+                [f"is object {i} red"], [str(names[i % len(names)])], topk=1
+            )[0]
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+            time.sleep(0.025)
+        for t in threads:
+            t.join()
+        assert all(r is not None for r in results)
+        if dyn.forwards - before == 1:
+            coalesced = True
+            break
+    assert coalesced, "staggered burst did not coalesce into one forward"

@@ -106,6 +106,7 @@ def main() -> None:
     p.add_argument("--requests", type=int, default=200)
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
+    p.add_argument("--batch_window_ms", type=float, default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -156,7 +157,8 @@ def main() -> None:
             backend = load_export(exp_dir) if mode == "aot_dynamic" else predictor
             service = AnswerService(backend, max_batch=args.max_batch)
             if mode != "plain":
-                service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms)
+                service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms,
+                                         window_ms=args.batch_window_ms)
             service.warmup()
             # one throwaway round to settle compiles/thread pools
             _measure(service, names, clients=args.clients, requests=args.clients)
@@ -167,7 +169,10 @@ def main() -> None:
             if mode != "plain":
                 # delta over the measured round only (the warm round above
                 # would otherwise inflate the coalescing ratio)
-                results[mode]["forwards"] = service.forwards - before
+                fwd = service.forwards - before
+                results[mode]["forwards"] = fwd
+                if fwd:  # 1 row per request in this bench
+                    results[mode]["rows_per_forward"] = round(args.requests / fwd, 1)
 
     line = json.dumps({
         "metric": "serve_throughput",
@@ -175,6 +180,7 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "max_batch": args.max_batch,
         "batch_wait_ms": args.batch_wait_ms,
+        "batch_window_ms": args.batch_window_ms,
         "modes": results,
     })
     print(line)

@@ -25,9 +25,10 @@ never recompiles, whatever request sizes arrive. Requests larger than
 --max_batch are chunked. stdlib-only (ThreadingHTTPServer); device work is
 serialized under a lock — batching, not concurrency, is the throughput
 lever on one chip. --dynamic_batching coalesces concurrent requests into
-shared forwards (micro-batching: up to --max_batch rows per forward,
-waiting at most --batch_wait_ms after the first), so concurrent singles
-ride the batch dimension instead of queueing whole forwards.
+shared forwards (micro-batching: up to --max_batch rows per forward; the
+group closes --batch_wait_ms after the LAST arrival, capped at
+--batch_window_ms total), so concurrent singles ride the batch dimension
+instead of queueing whole forwards.
 """
 
 from __future__ import annotations
@@ -118,10 +119,22 @@ class DynamicBatcher:
         self,
         service: AnswerService,
         max_wait_ms: float = 5.0,
+        window_ms: Optional[float] = None,
         request_timeout_s: Optional[float] = None,
     ):
         self.service = service
         self.max_wait = max_wait_ms / 1000.0
+        # Coalescing is QUIESCENCE-based (r4, SERVE_r03 showed 7.7 rows/
+        # forward vs max_batch 32 at 16-client saturation): each arrival
+        # extends the collection window by max_wait, bounded by an absolute
+        # cap. Closed-loop clients answer a finished forward with a burst of
+        # new requests staggered over a few ms each; a FIXED 5ms wait from
+        # the first arrival caught only the head of the burst, while a 5ms
+        # inter-arrival gap catches the whole burst and still closes the
+        # group 5ms after the last straggler. The cap bounds worst-case
+        # added latency for an idle service.
+        self.window = (window_ms if window_ms is not None
+                       else 8.0 * max_wait_ms) / 1000.0
         self.request_timeout = request_timeout_s
         self._q: "queue.Queue" = queue.Queue()
         self._stats_lock = threading.Lock()
@@ -188,9 +201,10 @@ class DynamicBatcher:
             group = [carry if carry is not None else self._q.get()]
             carry = None
             size = len(group[0]["q"])
-            deadline = time.monotonic() + self.max_wait
+            cap = time.monotonic() + self.window  # absolute latency bound
+            gap_deadline = time.monotonic() + self.max_wait
             while size < max_batch:
-                remaining = deadline - time.monotonic()
+                remaining = min(gap_deadline, cap) - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
@@ -202,6 +216,9 @@ class DynamicBatcher:
                     break        # one-forward-per-group contract
                 group.append(nxt)
                 size += len(nxt["q"])
+                # each arrival re-arms the gap: collect the whole burst,
+                # close the group one quiet gap after the last straggler
+                gap_deadline = time.monotonic() + self.max_wait
             # drop requests whose client already 504'd: nobody reads the
             # result, and executing them would double the device load with
             # retries exactly when a stalled device comes back
@@ -236,6 +253,15 @@ class DynamicBatcher:
 
 def make_handler(service: AnswerService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length (see
+        # _send), so persistent connections are safe — and they keep
+        # closed-loop clients OUT of the kernel accept queue. Root-caused
+        # r4: the SERVE_r03 ConnectionResetError(104)s were kernel listen-
+        # queue overflows (netstat ListenOverflows incremented in lockstep)
+        # — the GIL-starved accept loop lagged one-connection-per-request
+        # churn at 16 clients over the stdlib default backlog of 5.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -262,10 +288,12 @@ def make_handler(service: AnswerService):
                 if self.headers.get("Content-Length") is None:
                     # chunked / absent lengths would read an empty body and
                     # surface as a confusing "missing field" 400
+                    self.close_connection = True  # body unread: cannot reuse
                     self._send(411, {"error": "Content-Length required"})
                     return
                 length = int(self.headers.get("Content-Length", 0))
                 if length > self.MAX_BODY:
+                    self.close_connection = True  # body unread: cannot reuse
                     self._send(413, {"error": f"body exceeds {self.MAX_BODY} bytes"})
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -313,8 +341,19 @@ def make_handler(service: AnswerService):
     return Handler
 
 
+class VQAHTTPServer(ThreadingHTTPServer):
+    # Deep listen backlog: bursts of new connections must be absorbed by the
+    # kernel while the accept loop waits on the GIL (host-side tokenization/
+    # readback work holds it for ms at a time). The stdlib default of 5
+    # overflowed at 16 one-connection-per-request clients and the kernel
+    # RST anything past the queue — observed as client-side
+    # ConnectionResetError(104) with zero server-side trace (SERVE_r03).
+    request_queue_size = 1024
+    daemon_threads = True
+
+
 def build_server(service: AnswerService, host: str, port: int) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port), make_handler(service))
+    return VQAHTTPServer((host, port), make_handler(service))
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -339,7 +378,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--dynamic_batching", action="store_true",
                    help="coalesce concurrent requests into shared forwards")
     p.add_argument("--batch_wait_ms", type=float, default=5.0,
-                   help="max coalescing wait after the first queued request")
+                   help="coalescing inter-arrival gap: the group closes "
+                        "this long after the last queued request")
+    p.add_argument("--batch_window_ms", type=float, default=None,
+                   help="absolute cap on the coalescing window "
+                        "(default 8x batch_wait_ms)")
     p.add_argument("--request_timeout_s", type=float, default=None,
                    help="with --dynamic_batching: bound each request's wait "
                         "(504 instead of hanging behind a wedged device)")
@@ -388,6 +431,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     service = AnswerService(predictor, max_batch=args.max_batch or 64)
     if args.dynamic_batching:
         service = DynamicBatcher(service, max_wait_ms=args.batch_wait_ms,
+                                 window_ms=args.batch_window_ms,
                                  request_timeout_s=args.request_timeout_s)
     print("warming up (one compile at the fixed serving shape)...", flush=True)
     service.warmup()
