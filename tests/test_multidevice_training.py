@@ -8,9 +8,12 @@
   uninterrupted run.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vqa_tpu.config import ModelOptions, OptimOptions
 from vqa_tpu.engine.checkpoint import CheckpointManager
@@ -132,3 +135,29 @@ def test_checkpoint_roundtrip_across_layouts(tmp_path):
         jax.tree.leaves(jax.device_get(resumed.params)),
     ):
         np.testing.assert_allclose(x, y, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_devices,tp", [(8, 2), (16, 4), (32, 4)])
+def test_dryrun_multichip_mesh_sizes(n_devices, tp):
+    """The driver's dryrun contract at 8/16/32 virtual devices with real
+    tp shardings (VERDICT r3 item 6: make the '16/32-device spot-checks'
+    claim reproducible evidence). Subprocess: jax_num_cpu_devices is fixed
+    at backend init, so each mesh size needs a fresh process."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices}"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; "
+         f"g.dryrun_multichip({n_devices}, model_parallel={tp})"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert f"dryrun_multichip({n_devices}, tp={tp}): ok" in proc.stdout
