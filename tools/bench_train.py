@@ -69,9 +69,13 @@ def main() -> None:
         raise SystemExit(f"unknown arch {arch!r}; one of {sorted(yamls)}")
     yaml = yamls[arch]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # BENCH_OPTS="k=v,k=v" appends config overrides (A/B experiments, e.g.
+    # BENCH_OPTS=extra.chain.remat=dots for the CoR backward ADR)
+    extra_opts = [kv for kv in os.environ.get("BENCH_OPTS", "").split(",") if kv]
     opt = load_options(
         os.path.join(repo, "options/vqa2", yaml),
-        overrides=["model.seq2vec.arch=skipthoughts"] if arch == "mutan_st" else None,
+        overrides=(["model.seq2vec.arch=skipthoughts"] if arch == "mutan_st"
+                   else []) + extra_opts,
     )
     model = factory(opt.model, NUM_WORDS, NUM_ANSWERS, dtype="bfloat16")
 

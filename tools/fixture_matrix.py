@@ -50,6 +50,13 @@ def main():
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--dir", default=None)
     p.add_argument(
+        "--int8_delta", action="store_true",
+        help="train every config twice (engine.features_dtype bfloat16 vs "
+        "int8) and APPEND the accuracy-delta section to ACCURACY.md — the "
+        "int8 capacity path's quantization cost on the official scorer "
+        "(VERDICT r3 item 4)",
+    )
+    p.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (this image's sitecustomize overrides "
         "JAX_PLATFORMS, so the env var alone does not work)",
@@ -68,15 +75,13 @@ def main():
     generate(work, n_images=24, n_questions=200, seed=5)
     ann = os.path.join(work, "vqa2/raw/v2_mscoco_val2014_annotations.json")
 
-    rows = []
-    for name, extra in CONFIGS.items():
-        logs = os.path.join(work, "logs", name)
+    def run_config(name, extra, logs, dtype_opt=()):
         argv = [
             "--path_opt", os.path.join(REPO, "options/vqa2", f"{name}.yaml"),
             "--dir_logs", logs, "--epochs", str(args.epochs),
             "--batch_size", "16", "--lr", "0.003", "--print_freq", "0",
             "--opt", f"vqa.dir={work}/vqa2", "--opt", f"coco.dir={work}/coco",
-            *COMMON, *extra,
+            *COMMON, *extra, *dtype_opt,
         ]
         rc = train_main(argv)
         assert rc == 0, name
@@ -86,10 +91,54 @@ def main():
             logs, "results", f"vqa_OpenEnded_val_epoch{info['best']}_results.json"
         )
         report = evaluate_files(results, ann)
-        rows.append((name, info["best_acc"], report["overall"]))
-        print(f"{name}: best acc1 {info['best_acc']*100:.1f}, scorer {report['overall']:.1f}")
+        return info["best_acc"], report["overall"]
 
-    with open(os.path.join(REPO, "ACCURACY.md"), "w") as f:
+    acc_path = os.path.join(REPO, "ACCURACY.md")
+
+    if args.int8_delta:
+        rows = []
+        for name, extra in CONFIGS.items():
+            per = {}
+            for dtype in ("bfloat16", "int8"):
+                logs = os.path.join(work, "logs", f"{name}_{dtype}")
+                per[dtype] = run_config(
+                    name, extra, logs,
+                    ("--opt", f"engine.features_dtype={dtype}"),
+                )
+            delta = per["int8"][1] - per["bfloat16"][1]
+            rows.append((name, per["bfloat16"][1], per["int8"][1], delta))
+            print(f"{name}: scorer bf16 {per['bfloat16'][1]:.1f} int8 "
+                  f"{per['int8'][1]:.1f} (delta {delta:+.1f})")
+        with open(acc_path, "a") as f:
+            f.write(
+                "\n## features_dtype=int8 accuracy delta (capacity path)\n\n"
+                "Same fixture + seed + epochs, every graded config trained and\n"
+                "scored twice: device feature table bfloat16 vs per-row-quantized\n"
+                "int8 (engine.features_dtype). Fixture-noise-level signals (see\n"
+                "header caveat), recorded so the capacity feature ships with its\n"
+                "quantization cost measured rather than assumed.\n\n"
+                "| config | scorer bf16 | scorer int8 | delta |\n|---|---|---|---|\n"
+            )
+            for name, b, i8, d in rows:
+                f.write(f"| {name} | {b:.1f} | {i8:.1f} | {d:+.1f} |\n")
+        print("appended int8 delta section to ACCURACY.md")
+        return
+
+    rows = []
+    for name, extra in CONFIGS.items():
+        acc1, overall = run_config(name, extra, os.path.join(work, "logs", name))
+        rows.append((name, acc1, overall))
+        print(f"{name}: best acc1 {acc1*100:.1f}, scorer {overall:.1f}")
+
+    # REPLACE only the top table; preserve every appended "## " section
+    # (TPU rehearsals etc. accumulate below the matrix table)
+    kept = ""
+    if os.path.exists(acc_path):
+        old = open(acc_path).read()
+        i = old.find("\n## ")
+        if i != -1:
+            kept = old[i:]
+    with open(acc_path, "w") as f:
         f.write(
             "# ACCURACY — graded configs on the synthetic fixture\n\n"
             "All configs trained end-to-end via the CLI on the offline fixture\n"
@@ -101,6 +150,7 @@ def main():
         )
         for name, acc1, overall in rows:
             f.write(f"| {name} | {acc1*100:.1f} | {overall:.1f} |\n")
+        f.write(kept)
     print("wrote ACCURACY.md")
 
 

@@ -98,6 +98,12 @@ class CoRModel(nn.Module):
     # and drop the per-step residual stacking in the backward (measured ADR
     # in the perf ledger); semantics/params/grads identical either way
     unroll: bool = True
+    # remat="dots": nn.remat(policy=checkpoint_dots) on the chain step —
+    # saves only GEMM outputs, recomputes the tanh/softmax/Hadamard chains
+    # in the backward (an A/B lever for the chain bwd:fwd ~2.7 ADR; grads
+    # numerically identical). Default off; see the perf ledger for the
+    # measured verdict.
+    remat: str = "none"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,8 +124,13 @@ class CoRModel(nn.Module):
             nn.Dense(self.dim_obj, dtype=self.dtype, name="obj_proj")(v)
         )                                                          # [B, N, Dobj]
 
+        step_cls = CoRStep
+        if self.remat == "dots":
+            step_cls = nn.remat(
+                CoRStep, policy=jax.checkpoint_policies.checkpoint_dots
+            )
         scan = nn.scan(
-            CoRStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0,
@@ -165,5 +176,6 @@ class CoRModel(nn.Module):
             ),
             l2norm_visual=opt.extra.get("l2norm_visual", True),
             unroll=chain.get("unroll", True),
+            remat=chain.get("remat", "none"),
             dtype=dtype,
         )

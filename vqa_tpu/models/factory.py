@@ -40,7 +40,7 @@ _VALID_KEYS = {
         "core_bias",
     },
     "classif": {"dim_h", "activation", "dropout"},
-    "chain": {"steps", "unroll"},
+    "chain": {"steps", "unroll", "remat"},
     # union across fusion archs; fusion_lib.factory additionally enforces the
     # exact per-arch set for the archs it builds
     "fusion": {
