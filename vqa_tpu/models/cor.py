@@ -101,8 +101,11 @@ class CoRModel(nn.Module):
     # remat="dots": nn.remat(policy=checkpoint_dots) on the chain step —
     # saves only GEMM outputs, recomputes the tanh/softmax/Hadamard chains
     # in the backward (an A/B lever for the chain bwd:fwd ~2.7 ADR; grads
-    # numerically identical). Default off; see the perf ledger for the
-    # measured verdict.
+    # numerically identical). MEASURED NEUTRAL on the real chip
+    # (PROFILE_r04_cor.json: vqa-like blend 24.2k vs 24.1k native, +0.5%
+    # = tunnel noise) — the chain backward is GEMM-transpose-bound, not
+    # activation-traffic-bound, so recomputing the elementwise chains
+    # buys nothing. Default stays off.
     remat: str = "none"
     dtype: Any = jnp.float32
 
