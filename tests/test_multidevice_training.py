@@ -108,6 +108,33 @@ def test_sharded_feature_table_matches_replicated():
     assert int(rep["correct1"]) == int(shd["correct1"])
 
 
+def test_put_table_row_major_layout_and_values():
+    """mesh.put_replicated_table pins the canonical row-major layout (the
+    PJRT default for [N,R,D] is (1,0,2), which costs a full-table in-program
+    relayout copy per step — OOM at trainval scale, see mesh.table_format)
+    and is value-identical to a plain device_put through the eval step."""
+    from vqa_tpu.engine.steps import make_eval_step
+    from vqa_tpu.parallel.mesh import put_replicated_table
+
+    state, batches = _setup()
+    mesh = make_mesh(jax.devices()[:8])
+    state = jax.device_put(state, replicated(mesh))
+    rng = np.random.default_rng(7)
+    table = rng.standard_normal((11, R, DV)).astype(np.float32)
+    idx = rng.integers(0, 11, B).astype(np.int32)
+
+    batch = dict(batches[0])
+    del batch["visual"]
+    batch["image_index"] = jnp.asarray(idx)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+
+    canon = put_replicated_table(table, mesh)
+    assert canon.format.layout.major_to_minor == (0, 1, 2)
+    ref = make_eval_step()(state, batch, jax.device_put(jnp.asarray(table), replicated(mesh)))
+    out = make_eval_step()(state, batch, canon)
+    np.testing.assert_array_equal(np.asarray(ref["pred"]), np.asarray(out["pred"]))
+
+
 def test_checkpoint_roundtrip_across_layouts(tmp_path):
     """Train 2 steps under 8-way DP, checkpoint, restore, continue 2 steps
     under a 4x2 TP layout — final params match the uninterrupted DP run."""

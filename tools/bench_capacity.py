@@ -109,7 +109,9 @@ def run_int8(n_images: int) -> dict:
     import numpy as np
 
     from vqa_tpu.engine.steps import make_eval_step
-    from vqa_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from vqa_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, put_replicated_table,
+    )
 
     mesh = make_mesh()
     rng = np.random.default_rng(0)
@@ -119,10 +121,13 @@ def run_int8(n_images: int) -> dict:
     gen_s = time.perf_counter() - t0
     table_gb = (values.nbytes + scales.nbytes) / 1e9
 
+    # canonical row-major put (mesh.table_format): the default put layout
+    # costs a full-table in-program relayout copy — at 9GB that copy alone
+    # OOMs the 16GB v5e (root-caused r4 session 10)
     t0 = time.perf_counter()
     features = (
-        jax.device_put(values, replicated(mesh)),
-        jax.device_put(scales.astype(jnp.bfloat16), replicated(mesh)),
+        put_replicated_table(values, mesh),
+        put_replicated_table(scales.astype(jnp.bfloat16), mesh),
     )
     jax.block_until_ready(features)
     put_s = time.perf_counter() - t0

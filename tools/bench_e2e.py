@@ -69,7 +69,9 @@ def main() -> None:
     from vqa_tpu.engine.optim import factory as optim_factory
     from vqa_tpu.engine.steps import create_state, make_eval_step
     from vqa_tpu.models import factory as model_factory
-    from vqa_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from vqa_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, put_replicated_table, replicated,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # one directory PER config: different --n_images/--n_questions used to
@@ -130,14 +132,14 @@ def main() -> None:
 
         values, scales = quantize_features(table)
         features = (
-            jax.device_put(jnp.asarray(values), replicated(mesh)),
-            jax.device_put(jnp.asarray(scales, jnp.bfloat16), replicated(mesh)),
+            put_replicated_table(jnp.asarray(values), mesh),
+            put_replicated_table(jnp.asarray(scales, jnp.bfloat16), mesh),
         )
         print(f"device table {values.shape} int8+scales "
               f"({(values.nbytes + scales.nbytes)/1e9:.2f} GB)", file=sys.stderr)
     else:
         table = table.astype(jnp.bfloat16)
-        features = jax.device_put(table, replicated(mesh))
+        features = put_replicated_table(table, mesh)
         print(f"device table {table.shape} bf16 ({table.nbytes/1e9:.2f} GB)", file=sys.stderr)
 
     transform = engine_lib.make_device_transform(batch_sharding(mesh), dtype=jnp.bfloat16)

@@ -315,12 +315,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         # HBM-resident feature table, replicated over the mesh (or row-sharded
         # across chips with engine.features_sharded); batches carry image
         # indices only (BASELINE north star "HBM-resident region tensors")
-        from vqa_tpu.parallel.mesh import shard_feature_table
+        from vqa_tpu.parallel.mesh import put_replicated_table, shard_feature_table
 
+        # put_*_table puts in the canonical row-major layout — the PJRT
+        # default layout differs and costs a full-table in-program relayout
+        # copy per step (OOM at trainval scale; see mesh.table_format)
         place_table = (
             (lambda t: shard_feature_table(t, mesh))
             if opt.engine.features_sharded
-            else (lambda t: shard_state(t, mesh))
+            else (lambda t: put_replicated_table(t, mesh))
         )
         table = val_set.features.as_array()
         if opt.engine.features_dtype == "int8":

@@ -50,6 +50,35 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
 
 
+def table_format(sharding, ndim: int = 3):
+    """Row-major put Format for device-resident feature tables.
+
+    The PJRT default device_put layout for a ``[N, 36, 2048]`` table is
+    ``major_to_minor=(1, 0, 2)``, but every compiled eval/train step consumes
+    the table in canonical row-major ``(0, 1, 2)`` — so XLA inserts a
+    FULL-TABLE relayout copy inside each executable. Invisible at toy scale;
+    fatal at trainval scale: the ~9GB int8 capacity table OOMs a 16GB v5e
+    because the in-program copy doubles residency (measured r4 at 20k
+    images: HLO temp 1.65GB -> 0.475GB once the put layout matches the
+    program). Putting row-major makes entry layout == program layout: no
+    per-call copy, no double residency. Tiling is left to the backend
+    default for the dtype (canonical compact tiling)."""
+    from jax.experimental.layout import Format, Layout
+
+    return Format(Layout(major_to_minor=tuple(range(ndim))), sharding)
+
+
+def put_table(table, sharding):
+    """device_put a feature-table array in the canonical row-major layout
+    (see table_format) under the given sharding."""
+    return jax.device_put(table, table_format(sharding, np.ndim(table)))
+
+
+def put_replicated_table(table, mesh: Mesh):
+    """Replicate a feature table across the mesh, row-major (table_format)."""
+    return put_table(table, replicated(mesh))
+
+
 def shard_feature_table(table, mesh: Mesh):
     """Row-shard a feature table over every mesh device (flattened 'data' x
     'model' axes) for tables bigger than one chip's HBM
@@ -65,7 +94,7 @@ def shard_feature_table(table, mesh: Mesh):
         table = np.concatenate(
             [table, np.zeros((pad,) + table.shape[1:], table.dtype)], axis=0
         )
-    return jax.device_put(table, NamedSharding(mesh, P(("data", "model"))))
+    return put_table(table, NamedSharding(mesh, P(("data", "model"))))
 
 
 def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
