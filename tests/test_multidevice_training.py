@@ -135,6 +135,48 @@ def test_put_table_row_major_layout_and_values():
     np.testing.assert_array_equal(np.asarray(ref["pred"]), np.asarray(out["pred"]))
 
 
+def test_put_table_streaming_fallback_matches_direct():
+    """Tables above mesh._STREAM_PUT_BYTES stream through the donated
+    dynamic_update_slice path (device_put SILENTLY drops a custom Format
+    above ~4.4-9.1GB on the TPU image — the r4s17 root cause of the
+    trainval-scale int8 OOM). Forced small here: the streamed result must be
+    bit-identical to a direct put, row-major, and correct through eval."""
+    from vqa_tpu import parallel
+    from vqa_tpu.engine.steps import make_eval_step
+    from vqa_tpu.parallel import mesh as mesh_mod
+
+    state, batches = _setup()
+    mesh = make_mesh(jax.devices()[:8])
+    state = jax.device_put(state, replicated(mesh))
+    rng = np.random.default_rng(11)
+    table = rng.standard_normal((11, R, DV)).astype(np.float32)
+    idx = rng.integers(0, 11, B).astype(np.int32)
+
+    batch = dict(batches[0])
+    del batch["visual"]
+    batch["image_index"] = jnp.asarray(idx)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+
+    direct = mesh_mod.put_replicated_table(table, mesh)
+    old = mesh_mod._STREAM_PUT_BYTES
+    mesh_mod._STREAM_PUT_BYTES = 1  # force streaming for any real table
+    try:
+        streamed = mesh_mod.put_replicated_table(table, mesh)
+    finally:
+        mesh_mod._STREAM_PUT_BYTES = old
+    assert streamed.format.layout.major_to_minor == (0, 1, 2)
+    np.testing.assert_array_equal(np.asarray(streamed), np.asarray(direct))
+
+    ref = make_eval_step()(state, batch, direct)
+    out = make_eval_step()(state, batch, streamed)
+    np.testing.assert_array_equal(np.asarray(ref["pred"]), np.asarray(out["pred"]))
+
+    # multi-slab path: chunk smaller than the table forces >1 donated update
+    fmt = mesh_mod.table_format(replicated(mesh), 3)
+    multi = mesh_mod._streamed_put(table, fmt, chunk_bytes=table.nbytes // 3)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(direct))
+
+
 def test_checkpoint_roundtrip_across_layouts(tmp_path):
     """Train 2 steps under 8-way DP, checkpoint, restore, continue 2 steps
     under a 4x2 TP layout — final params match the uninterrupted DP run."""

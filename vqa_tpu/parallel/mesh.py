@@ -13,6 +13,7 @@ over ICI automatically — that is the whole distributed backend (section 5.8).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -68,10 +69,75 @@ def table_format(sharding, ndim: int = 3):
     return Format(Layout(major_to_minor=tuple(range(ndim))), sharding)
 
 
+# Above this many bytes, device_put is assumed to silently drop the custom
+# layout (see put_table) and the streaming path is taken directly. Probed on
+# the r4 image: a 4.4GB int8 put honors the requested row-major Format, a
+# 9.1GB put silently commits the PJRT default (1, 0, 2) instead — consistent
+# with a transfer-then-relayout implementation that skips the relayout when
+# the 2x-table transient would not fit HBM. Env-overridable for other images.
+_STREAM_PUT_BYTES = int(
+    __import__("os").environ.get("VQA_TPU_STREAM_PUT_BYTES", 6 * 1024**3)
+)
+
+
+def _streamed_put(table, fmt, chunk_bytes=1 << 30):
+    """Upload a huge host table into an on-device row-major buffer without
+    ever holding 2x the table in HBM: allocate a zeros accumulator directly
+    in the target Format (on-device, no transfer), then stream ~1GB row
+    slabs through device_put + a DONATED dynamic_update_slice (in-place —
+    peak residency = table + one slab). Replicated-sharding tables only;
+    row-sharded tables keep per-device shards small enough for direct put."""
+    import jax.numpy as jnp
+
+    shape, dtype = table.shape, table.dtype
+    rows_per_chunk = max(1, int(chunk_bytes // max(1, table.nbytes // shape[0])))
+    acc = jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=fmt)()
+
+    @partial(jax.jit, donate_argnums=0, out_shardings=fmt)
+    def update(a, slab, start):
+        zeros = (jnp.int32(0),) * (a.ndim - 1)
+        return jax.lax.dynamic_update_slice(a, slab, (start,) + zeros)
+
+    for start in range(0, shape[0], rows_per_chunk):
+        slab = jax.device_put(table[start : start + rows_per_chunk], fmt.sharding)
+        acc = update(acc, slab, np.int32(start))
+    return acc
+
+
 def put_table(table, sharding):
     """device_put a feature-table array in the canonical row-major layout
-    (see table_format) under the given sharding."""
-    return jax.device_put(table, table_format(sharding, np.ndim(table)))
+    (see table_format) under the given sharding.
+
+    Large tables stream (see _streamed_put): on this image device_put
+    SILENTLY ignores a custom Format above ~somewhere in (4.4, 9.1] GB —
+    the committed array comes back in the PJRT default (1, 0, 2) layout,
+    and the next compiled step then embeds a full-table relayout copy to
+    feed the row-major-operand Mosaic gather, which OOMs a 16GB v5e at
+    trainval scale (root-caused r4 session 17; the r4s10 row-major put fix
+    was validated at 20k images, below the drop threshold). The committed
+    layout is verified after every direct put so a drop can never silently
+    re-introduce the in-program copy."""
+    ndim = np.ndim(table)
+    fmt = table_format(sharding, ndim)
+    replicated_spec = getattr(sharding, "spec", None) == P()
+    if replicated_spec and getattr(table, "nbytes", 0) > _STREAM_PUT_BYTES:
+        return _streamed_put(table, fmt)
+    out = jax.device_put(table, fmt)
+    got = out.format.layout.major_to_minor
+    if got != tuple(range(ndim)):
+        if not replicated_spec:
+            import warnings
+
+            warnings.warn(
+                f"device_put dropped the row-major table layout (got {got}) "
+                "for a sharded table; compiled steps will carry a per-shard "
+                "relayout copy. Lower per-device shard bytes or raise "
+                "VQA_TPU_STREAM_PUT_BYTES handling."
+            )
+            return out
+        out.delete()
+        return _streamed_put(table, fmt)
+    return out
 
 
 def put_replicated_table(table, mesh: Mesh):
