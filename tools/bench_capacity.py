@@ -18,8 +18,14 @@ Two modes:
     (engine.features_sharded layout), one sharded eval step, asserts finite
     preds. Host-RAM-bound rehearsal of the multi-chip >HBM layout.
 
-Usage: python tools/bench_capacity.py [--int8|--rowsharded_cpu]
-       [--n_images 123000] [--out FILE]
+  --ab_streamed (real chip): streamed-vs-direct put equivalence A/B at a
+    sub-threshold table size (~4GB int8, 55k images): same table, both put
+    paths, same eval loop — asserts identical preds and records the QA/s
+    ratio. Closes the "streamed accumulator gathers like a direct put"
+    assumption (mesh._streamed_put).
+
+Usage: python tools/bench_capacity.py [--int8|--rowsharded_cpu|--ab_streamed]
+       [--n_images N] [--out FILE]
 Env: CAP_APPEND=<file> appends the JSON line. Run tools/device_ready.py
 first when recording (tunnel discipline, perf ledger).
 """
@@ -175,6 +181,91 @@ def run_int8(n_images: int) -> dict:
     }
 
 
+def run_ab_streamed(n_images: int) -> dict:
+    """Streamed-put equivalence A/B (VERDICT r4 item 7): at a sub-threshold
+    size where device_put still honors the row-major Format (~4GB int8 at
+    55k images; the drop threshold probed in (4.4, 9.1] GB), put the SAME
+    table via the direct Format put and via a forced _streamed_put, run the
+    same eval loop over both, and assert byte-identical preds + QA/s parity.
+    Closes the last assumption in the >HBM capacity path: that the streamed
+    accumulator's committed layout gathers exactly like a direct put.
+    Both legs run back-to-back in one process (tunnel variance minimized)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_tpu.engine.steps import make_eval_step
+    from vqa_tpu.parallel import mesh as mesh_mod
+    from vqa_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated, table_format,
+    )
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    questions, lengths, image_index = _gen_questions(rng, n_images)
+    values, scales = _gen_int8_table(rng, n_images)
+    scales = scales.astype(jnp.bfloat16)
+    table_gb = (values.nbytes + scales.nbytes) / 1e9
+
+    state = _flagship_state(mesh)
+    eval_step = make_eval_step()
+    in_shard = batch_sharding(mesh)
+    sharding = replicated(mesh)
+
+    def run_leg(put_fn):
+        t0 = time.perf_counter()
+        features = (put_fn(values), put_fn(scales))
+        jax.block_until_ready(features)
+        put_s = time.perf_counter() - t0
+        layouts = tuple(f.format.layout.major_to_minor for f in features)
+        out = None
+        for b in _eval_batches(questions, lengths, image_index, in_shard):
+            out = eval_step(state, b, features)
+        _ = np.asarray(out["pred"])  # warmup + drain
+        stack = jax.jit(jnp.stack)
+
+        def timed_pass():
+            t0 = time.perf_counter()
+            preds = [
+                eval_step(state, b, features)["pred"]
+                for b in _eval_batches(questions, lengths, image_index, in_shard)
+            ]
+            preds = np.asarray(stack(preds))
+            return preds, N_QUESTIONS / (time.perf_counter() - t0)
+
+        preds, r1 = timed_pass()
+        _, r2 = timed_pass()
+        for f in features:
+            f.delete()
+        return preds, max(r1, r2), put_s, layouts
+
+    def direct_put(x):
+        out = jax.device_put(x, table_format(sharding, x.ndim))
+        got = out.format.layout.major_to_minor
+        assert got == tuple(range(x.ndim)), f"direct put dropped layout: {got}"
+        return out
+
+    def streamed_put(x):
+        return mesh_mod._streamed_put(x, table_format(sharding, x.ndim))
+
+    preds_d, qa_direct, put_d, lay_d = run_leg(direct_put)
+    preds_s, qa_streamed, put_s_, lay_s = run_leg(streamed_put)
+    assert lay_d == lay_s, f"layout mismatch: {lay_d} vs {lay_s}"
+    preds_identical = bool((preds_d == preds_s).all())
+    return {
+        "metric": "capacity_streamed_put_ab",
+        "platform": jax.devices()[0].platform,
+        "n_images": n_images,
+        "table_gb_int8": round(table_gb, 2),
+        "qa_per_sec_direct": round(qa_direct, 1),
+        "qa_per_sec_streamed": round(qa_streamed, 1),
+        "streamed_over_direct": round(qa_streamed / qa_direct, 4),
+        "put_s_direct": round(put_d, 1),
+        "put_s_streamed": round(put_s_, 1),
+        "preds_identical": preds_identical,
+    }
+
+
 def run_rowsharded_cpu(n_images: int, n_devices: int = 8) -> dict:
     import jax
 
@@ -232,17 +323,23 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--rowsharded_cpu", action="store_true")
-    p.add_argument("--n_images", type=int, default=123_000)
+    p.add_argument("--ab_streamed", action="store_true",
+                   help="streamed-vs-direct put equivalence A/B (sub-"
+                        "threshold int8 table; default 55k images ~4GB)")
+    p.add_argument("--n_images", type=int, default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
     from vqa_tpu.utils import enable_compile_cache
 
     if args.rowsharded_cpu:
-        rec = run_rowsharded_cpu(args.n_images)
+        rec = run_rowsharded_cpu(args.n_images or 123_000)
+    elif args.ab_streamed:
+        enable_compile_cache()
+        rec = run_ab_streamed(args.n_images or 55_000)
     else:
         enable_compile_cache()
-        rec = run_int8(args.n_images)
+        rec = run_int8(args.n_images or 123_000)
     line = json.dumps(rec)
     print(line, flush=True)
     for path in (args.out, os.environ.get("CAP_APPEND")):
