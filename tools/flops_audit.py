@@ -126,6 +126,50 @@ def family_flops(arch: str) -> dict:
     return out
 
 
+def load_measured(path: str, kind: str) -> dict:
+    """arch -> measured QA/s from either artifact format.
+
+    r3 artifacts are one structured object with a "families" map; r5+
+    artifacts are JSONL append files (one bench line per family, possibly
+    several per arch at different batches — the append-and-commit evidence
+    discipline). For JSONL, lines whose batch matches the analysis BATCH
+    win; otherwise the last line per arch does.
+    """
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict) and "families" in doc:
+        fams = doc["families"]
+        if kind == "train":
+            return {k: v["blended_vqa"] for k, v in fams.items()}
+        return dict(fams)
+    prefix = ("eval_throughput_" if kind == "eval"
+              else "train_step_throughput_")
+    picked = {}  # arch -> (qa_per_sec, batch)
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        metric = rec.get("metric", "")
+        if not metric.startswith(prefix):
+            continue
+        arch = metric[len(prefix):]
+        if kind == "eval":
+            val = rec["value"]
+        else:  # blended over the train ladder, same lens as r3's blended_vqa
+            val = rec.get("bucketed_blend", {}).get("vqa_like", rec["value"])
+        prev = picked.get(arch)
+        if rec.get("batch") == BATCH or prev is None or prev[1] != BATCH:
+            picked[arch] = (val, rec.get("batch"))
+    return {k: v[0] for k, v in picked.items()}
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--eval", default="EVAL_r03.json")
@@ -137,15 +181,8 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")  # tracing only; keep off the TPU
 
-    measured_eval = measured_train = {}
-    if os.path.exists(args.eval):
-        with open(args.eval) as f:
-            measured_eval = json.load(f)["families"]
-    if os.path.exists(args.train):
-        with open(args.train) as f:
-            measured_train = {
-                k: v["blended_vqa"] for k, v in json.load(f)["families"].items()
-            }
+    measured_eval = load_measured(args.eval, "eval")
+    measured_train = load_measured(args.train, "train")
 
     record = {
         "metric": "speed_of_light_accounting",

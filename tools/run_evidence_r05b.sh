@@ -62,7 +62,17 @@ for f in mutan mutan_st mfb mfh cor; do
   ci "TRAIN_r05: $f @1024 (ledger-comparable batch)" TRAIN_r05.json
 done
 
-# ---- 2. one in-session bench.py reading for the ledger --------------------
+# ---- 2. SOL re-audit against the @1024 train lines -------------------------
+# The main queue's SOL leg ran against whatever TRAIN_r05 held at the time
+# (the @256 lines). flops_audit.load_measured prefers batch==1024 JSONL
+# lines, so re-running after leg 1 overwrites SOL_r05 with the
+# ledger-comparable accounting. CPU-only (tracing), no device traffic.
+if [ -s EVAL_r05.json ] && [ -s TRAIN_r05.json ]; then
+  run 3600 python tools/flops_audit.py --eval EVAL_r05.json --train TRAIN_r05.json --out SOL_r05.json
+  ci "SOL_r05: re-audit against the @1024 train lines" SOL_r05.json
+fi
+
+# ---- 3. one in-session bench.py reading for the ledger --------------------
 sleep 120
 gate || say "gate not ready — in-session bench may read low"
 run 3600 python bench.py | tail -1 > /tmp/bench_r05_insession.json
