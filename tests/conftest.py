@@ -34,7 +34,25 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU in-process collectives abort the WHOLE process when a rendezvous
+# participant thread is starved past a hard 40s default ("Termination timeout
+# ... Exiting to ensure a consistent program state", rendezvous.cc). On this
+# environment's 1-vCPU hosts the 8-virtual-device all-gathers occasionally
+# starve 1-2 participant threads past that line under full-suite load — seen
+# as the historical "Fatal Python error: Aborted inside a trivial CPU
+# apply_primitive" suite crashes (the Python dump shows the innocent main
+# thread; the abort comes from an XLA pool thread — root-caused r5s25 with
+# `pytest -s`: F rendezvous.cc:127 + InProcessCommunicator::AllGather stack).
+# Raise the limits far past any plausible scheduler stall. (The matching
+# warn_stuck flag is NOT registered in this jaxlib's flag parser — passing
+# it is itself fatal; only these two parse.)
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

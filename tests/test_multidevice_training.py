@@ -221,6 +221,9 @@ def test_dryrun_multichip_mesh_sizes(n_devices, tp):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_devices}"
+        # starved-host rendezvous abort protection (see tests/conftest.py)
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200"
     )
     proc = subprocess.run(
         [sys.executable, "-c",

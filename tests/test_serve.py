@@ -182,6 +182,7 @@ def test_dynamic_batcher_coalesces_and_matches(served):
     assert coalesced, "no coalescing observed in 3 concurrent rounds"
     # per-request topk slices the shared (max-topk) forward
     assert len(dyn.answer_batch([qs[0]], [ims[0]], topk=1)[0]) == 1
+    dyn.shutdown()  # leaked parked threads starve small hosts (r5s25)
 
 
 def test_dynamic_batcher_isolates_bad_request(served):
@@ -212,6 +213,7 @@ def test_dynamic_batcher_isolates_bad_request(served):
         t.join()
     assert isinstance(outcomes[1], KeyError)
     assert isinstance(outcomes[0], list) and len(outcomes[0]) == 2
+    dyn.shutdown()
 
 
 def test_metrics_endpoint(served):
@@ -233,12 +235,15 @@ def test_stats_readable_while_forward_blocked():
     operator's wedge diagnostics."""
     import time as _time
 
+    release = threading.Event()
+
     class BlockingPredictor:
         class dataset:  # noqa: N801 — duck-typed attribute bag
             num_answers = 5
 
         def answer_batch(self, q, im, topk=5):
-            _time.sleep(3600)
+            release.wait(60)  # event-gated, not sleep(3600): the thread
+            return [[("?", 0.0)]] * len(q)  # must exit with the test
 
     svc = AnswerService(BlockingPredictor(), max_batch=2)
     t = threading.Thread(target=lambda: svc.answer_batch(["q"], ["i"]), daemon=True)
@@ -246,7 +251,10 @@ def test_stats_readable_while_forward_blocked():
     _time.sleep(0.2)  # let the forward take the device lock
     t0 = _time.monotonic()
     s = svc.stats()
-    assert _time.monotonic() - t0 < 1.0, "stats blocked behind the device lock"
+    blocked = _time.monotonic() - t0
+    release.set()
+    t.join(timeout=10)
+    assert blocked < 1.0, "stats blocked behind the device lock"
     assert s["requests"] == 1 and s["forwards"] == 0
 
 
@@ -257,18 +265,23 @@ def test_dynamic_batcher_request_timeout():
 
     from vqa_tpu.cli.serve import DynamicBatcher
 
+    release = threading.Event()
+
     class WedgedService:
         max_batch = 4
         num_answers = 5
 
         def answer_batch(self, questions, images, topk=5):
-            _time.sleep(3600)
+            release.wait(60)  # event-gated wedge: exits with the test
+            return [[("?", 0.0)]] * len(questions)
 
     dyn = DynamicBatcher(WedgedService(), max_wait_ms=1, request_timeout_s=0.5)
     t0 = _time.monotonic()
     with pytest.raises(TimeoutError, match="unresponsive"):
         dyn.answer_batch(["q"], ["img"], topk=1)
     assert _time.monotonic() - t0 < 5.0
+    release.set()
+    dyn.shutdown()
 
 
 def test_dynamic_batcher_drops_abandoned_requests():
@@ -309,6 +322,7 @@ def test_dynamic_batcher_drops_abandoned_requests():
     # BOTH A and B timed out (A was in-flight past its own deadline — its
     # forward necessarily completes; only still-queued B could be dropped)
     assert dyn.stats()["batcher"]["timeouts"] == 2
+    dyn.shutdown()
 
 
 def test_concurrent_requests_serialize_correctly(served):
@@ -390,3 +404,26 @@ def test_dynamic_batcher_quiescence_window(served):
             coalesced = True
             break
     assert coalesced, "staggered burst did not coalesce into one forward"
+    dyn.shutdown()
+
+
+def test_dynamic_batcher_shutdown_stops_worker():
+    """shutdown() must actually end the worker thread (leaked parked threads
+    outlive their test and add scheduler load on small hosts — the r5s25
+    full-suite aborts were XLA:CPU rendezvous starvation on 1 vCPU), be
+    idempotent, and not disturb in-flight semantics before it's called."""
+    from vqa_tpu.cli.serve import DynamicBatcher
+
+    class EchoService:
+        max_batch = 4
+        num_answers = 5
+
+        def answer_batch(self, qs, ims, topk=5):
+            return [[("yes", 1.0)]] * len(qs)
+
+    dyn = DynamicBatcher(EchoService(), max_wait_ms=1, request_timeout_s=5)
+    assert dyn.answer_batch(["q"], ["img"], topk=1)[0][0][0] == "yes"
+    assert dyn._worker.is_alive()
+    dyn.shutdown()
+    assert not dyn._worker.is_alive(), "worker survived shutdown()"
+    dyn.shutdown()  # idempotent

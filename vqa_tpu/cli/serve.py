@@ -140,8 +140,20 @@ class DynamicBatcher:
         self._stats_lock = threading.Lock()
         self._stats = {"client_requests": 0, "client_rows": 0,
                        "groups": 0, "timeouts": 0}
+        self._shutdown = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def shutdown(self, timeout_s: float = 5.0) -> None:
+        """Stop the worker thread gracefully (drains nothing: pending items
+        keep their bounded client-side waits). Idempotent. Without this,
+        every batcher leaks a parked thread for the process lifetime — at
+        best untidy for embedders/tests, at worst extra scheduler load on
+        a small host (the r5s25 suite aborts were rendezvous starvation on
+        1 vCPU with a dozen leaked test threads parked)."""
+        self._shutdown = True
+        self._q.put(None)  # sentinel: wakes the q.get at the loop head
+        self._worker.join(timeout_s)
 
     @property
     def forwards(self) -> int:  # coalesced group count (tests + tools)
@@ -198,7 +210,12 @@ class DynamicBatcher:
         max_batch = self.service.max_batch
         carry = None  # an item that didn't fit the previous group
         while True:
-            group = [carry if carry is not None else self._q.get()]
+            if self._shutdown:
+                return
+            head = carry if carry is not None else self._q.get()
+            if head is None or self._shutdown:  # shutdown sentinel
+                return
+            group = [head]
             carry = None
             size = len(group[0]["q"])
             cap = time.monotonic() + self.window  # absolute latency bound
@@ -211,6 +228,8 @@ class DynamicBatcher:
                     nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if nxt is None:  # shutdown sentinel mid-collection: finish
+                    break        # this group; the loop-head check exits
                 if size + len(nxt["q"]) > max_batch:
                     carry = nxt  # seed of the next group: keep the
                     break        # one-forward-per-group contract
