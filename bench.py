@@ -249,6 +249,15 @@ def main() -> None:
         record["cal_waits"] = cal_waits    # 45s idle-waits before in-band
     if host_load is not None:
         record["host_load_1m"] = host_load  # >2 at pass time taints the value
+    # the bench band is PER-HOST (r5s25: 126.7/126.9k on one host vs
+    # 134-140k on another, identical code, both cal>=136 — the gap is
+    # host-side dispatch/tunnel throughput the device-bound calibration
+    # can't see). Fingerprint the host so readings compare like-for-like.
+    try:  # machine-id is stable per host instance; cpuinfo has dynamic
+        with open("/etc/machine-id") as f:  # fields and fleet-generic models
+            record["host"] = f.read().strip()[:8]
+    except OSError:
+        pass
     if watchdog is not None:
         watchdog.cancel()
     print(json.dumps(record))
