@@ -11,6 +11,7 @@ fetch. Question ids stay host-side.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -223,11 +224,28 @@ def _eval_loop(
     results: List[Dict[str, Any]] = []
     outs: List[Dict[str, jax.Array]] = []
     metas: List[Tuple[np.ndarray, Any]] = []
+    # XLA:CPU's in-process collectives can HARD-DEADLOCK under unbounded
+    # concurrent sharded executions: participants of execution k+j occupy
+    # every pool thread blocked in THEIR rendezvous while execution k still
+    # needs a thread for its last shard — observed as the intermittent
+    # full-suite abort at ~test 270 (r5s25: with the rendezvous termination
+    # timeout raised to 1200s the stall ran the full 20 minutes and the
+    # missing participants NEVER arrived — a deadlock, not starvation). On
+    # the CPU backend, bound in-flight executions with a sliding window;
+    # the TPU path stays sync-free (the tunnel charges ~27ms per sync, and
+    # TPU executions don't share a starvable host thread pool).
+    inflight = (
+        int(os.environ.get("VQA_TPU_CPU_EVAL_INFLIGHT", "4"))
+        if jax.default_backend() == "cpu"
+        else 0
+    )
     t0 = time.perf_counter()
     for batch in loader.epoch(epoch):
         device_batch, question_ids, valid_host = _split_batch(batch)
         outs.append(eval_step(state, device_batch, features))
         metas.append((question_ids, valid_host))
+        if inflight and len(outs) > inflight:
+            jax.block_until_ready(outs[len(outs) - 1 - inflight])
     if not outs:
         return {"n": 0, "eval_time": 0.0, "qa_per_sec": 0.0}, []
     # batches can differ in question length (bucketing) but outputs are
