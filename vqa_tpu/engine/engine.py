@@ -121,11 +121,24 @@ def _readback_stacked(outs):
     jitted stack re-replicates everything first (every host fed the full
     batches in 'replicate' mode, so the values are identical everywhere)."""
     if jax.process_count() == 1:
+        if jax.default_backend() == "cpu":
+            # drain, then ONE jitted stack: the eager per-leaf stacks below
+            # are a burst of concurrent sharded executions — exactly the
+            # XLA:CPU in-process-collective deadlock surface (r5s25: the
+            # suite abort's main thread was blocked INSIDE one of these
+            # eager stack dispatches in a circular wait with in-flight
+            # eval executions; see _eval_loop). TPU path unchanged below.
+            jax.block_until_ready(outs)
+            stacked = jax.jit(
+                lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+            )(outs)
+            return jax.device_get(stacked)
         return jax.device_get(jax.tree.map(lambda *xs: jnp.stack(xs), *outs))
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     first = jax.tree.leaves(outs[0])[0]
     rep = NamedSharding(first.sharding.mesh, P())
+    jax.block_until_ready(outs)  # same CPU deadlock surface as above
     stacked = jax.jit(
         lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts),
         out_shardings=rep,
@@ -224,28 +237,27 @@ def _eval_loop(
     results: List[Dict[str, Any]] = []
     outs: List[Dict[str, jax.Array]] = []
     metas: List[Tuple[np.ndarray, Any]] = []
-    # XLA:CPU's in-process collectives can HARD-DEADLOCK under unbounded
-    # concurrent sharded executions: participants of execution k+j occupy
-    # every pool thread blocked in THEIR rendezvous while execution k still
-    # needs a thread for its last shard — observed as the intermittent
-    # full-suite abort at ~test 270 (r5s25: with the rendezvous termination
-    # timeout raised to 1200s the stall ran the full 20 minutes and the
-    # missing participants NEVER arrived — a deadlock, not starvation). On
-    # the CPU backend, bound in-flight executions with a sliding window;
-    # the TPU path stays sync-free (the tunnel charges ~27ms per sync, and
-    # TPU executions don't share a starvable host thread pool).
-    inflight = (
-        int(os.environ.get("VQA_TPU_CPU_EVAL_INFLIGHT", "4"))
-        if jax.default_backend() == "cpu"
-        else 0
-    )
+    # XLA:CPU's in-process collectives can HARD-DEADLOCK under concurrent
+    # sharded executions: a rendezvous waits for participants whose work is
+    # queued behind pool threads blocked in OTHER executions' rendezvous,
+    # and even the dispatching thread can wedge in the circular wait —
+    # observed as the intermittent full-suite abort at ~test 270 (r5s25:
+    # with the rendezvous termination timeout raised to 1200s the stall ran
+    # its full length and the missing participants NEVER arrived — a
+    # deadlock, not starvation; a window of 4 still deadlocked). On the CPU
+    # backend, serialize eval executions outright (window 0 = block each
+    # dispatch; env-overridable for experiments). The TPU path stays
+    # sync-free (the tunnel charges ~27ms per sync, and TPU executions
+    # don't share a starvable host thread pool).
+    cpu_serial = jax.default_backend() == "cpu"
+    window = int(os.environ.get("VQA_TPU_CPU_EVAL_INFLIGHT", "0"))
     t0 = time.perf_counter()
     for batch in loader.epoch(epoch):
         device_batch, question_ids, valid_host = _split_batch(batch)
         outs.append(eval_step(state, device_batch, features))
         metas.append((question_ids, valid_host))
-        if inflight and len(outs) > inflight:
-            jax.block_until_ready(outs[len(outs) - 1 - inflight])
+        if cpu_serial and len(outs) > window:
+            jax.block_until_ready(outs[len(outs) - 1 - window])
     if not outs:
         return {"n": 0, "eval_time": 0.0, "qa_per_sec": 0.0}, []
     # batches can differ in question length (bucketing) but outputs are
